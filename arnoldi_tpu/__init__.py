@@ -1,0 +1,39 @@
+"""arnoldi-tpu: a TPU-native Krylov-Schur eigensolver framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the reference
+``arnoldi-py`` library (see SURVEY.md).  Public surface mirrors the
+reference's (``src/arnoldi/__init__.py:1-3`` exports only ``__version__`` and
+``partial_schur``) but additionally exposes the operator layer, solver tiers,
+and parallel utilities that the TPU-native design adds.
+"""
+
+from ._version import __version__
+from .solvers.krylov_schur import partial_schur
+from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
+from .solvers.explicit_restarts import (
+    History,
+    explicit_restarts_with_deflation,
+    naive_explicit_restarts,
+)
+from .linop import (
+    BandedOperator,
+    DenseOperator,
+    EllOperator,
+    LinearOperator,
+    as_operator,
+)
+
+__all__ = [
+    "__version__",
+    "partial_schur",
+    "arnoldi_decomposition",
+    "RitzDecomposition",
+    "History",
+    "naive_explicit_restarts",
+    "explicit_restarts_with_deflation",
+    "LinearOperator",
+    "DenseOperator",
+    "EllOperator",
+    "BandedOperator",
+    "as_operator",
+]

@@ -1,0 +1,283 @@
+"""Device-side linear operators.
+
+The reference reaches sparse matvec through SciPy CSR's C kernel
+(``A @ V[:, j]``, ``src/arnoldi/decomposition.py:58``).  On TPU, CSR's
+row-pointer indirection maps poorly onto the vector unit, so the framework's
+operator layer re-encodes sparsity in dense-friendly formats:
+
+* :class:`DenseOperator` — plain matmul (MXU path, small/medium n).
+* :class:`EllOperator` — ELLPACK: rows padded to a fixed nnz-per-row budget,
+  giving a static-shape gather + row reduction.
+* :class:`BandedOperator` — diagonal (DIA) storage for stencil matrices
+  (``laplace``/``laplace_2d``): shift-and-add, no gather at all.
+* :class:`CallableOperator` — escape hatch wrapping an arbitrary jittable
+  matvec closure.
+
+All operators are pytrees, so they pass straight through ``jax.jit`` /
+``shard_map`` as arguments, and expose ``matvec`` (n,)->(n,), ``matmat``
+(n,k)->(n,k), ``shape``, ``dtype``, and ``nnz`` (for throughput metrics).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _result_dtype(op_dtype, x_dtype):
+    return jnp.result_type(op_dtype, x_dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DenseOperator:
+    """Dense matrix operator; matvec is a single gemv/gemm on the MXU."""
+
+    A: jax.Array
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    @property
+    def nnz(self):
+        return self.A.shape[0] * self.A.shape[1]
+
+    def matvec(self, x):
+        return self.A @ x
+
+    def matmat(self, X):
+        return self.A @ X
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class EllOperator:
+    """ELLPACK sparse operator: ``y[r] = sum_l data[r, l] * x[cols[r, l]]``.
+
+    Rows are padded to the max row-degree with zero weights (pointing at
+    column 0), so every shape is static — the XLA-friendly replacement for
+    CSR's variable-length rows.  ``nnz_stored`` counts true nonzeros for
+    throughput accounting.
+    """
+
+    data: jax.Array  # (n, L)
+    cols: jax.Array  # (n, L) int32
+    nnz_stored: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def shape(self):
+        n = self.data.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self):
+        return self.nnz_stored
+
+    def matvec(self, x):
+        gathered = jnp.take(x, self.cols, axis=0)  # (n, L)
+        return jnp.sum(self.data * gathered, axis=1)
+
+    def matmat(self, X):
+        gathered = jnp.take(X, self.cols, axis=0)  # (n, L, k)
+        return jnp.einsum("nl,nlk->nk", self.data, gathered)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None):
+        """Build from any SciPy sparse matrix."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        if dtype is not None:
+            A = A.astype(dtype)
+        A.sum_duplicates()
+        n = A.shape[0]
+        degrees = np.diff(A.indptr)
+        L = max(int(degrees.max(initial=0)), 1)
+        data = np.zeros((n, L), dtype=A.dtype)
+        cols = np.zeros((n, L), dtype=np.int32)
+        # Scatter each row's nonzeros into its padded slot.
+        row_ids = np.repeat(np.arange(n), degrees)
+        slot_ids = np.arange(A.nnz) - np.repeat(A.indptr[:-1], degrees)
+        data[row_ids, slot_ids] = A.data
+        cols[row_ids, slot_ids] = A.indices
+        return cls(jnp.asarray(data), jnp.asarray(cols), int(A.nnz))
+
+    def tree_flatten(self):
+        return (self.data, self.cols), self.nnz_stored
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BandedOperator:
+    """DIA-format operator for banded/stencil matrices.
+
+    ``bands[d]`` holds the diagonal at ``offsets[d]`` stored full-length and
+    aligned so that ``y += bands[d] * shift(x, offsets[d])`` — matvec is a
+    handful of shifted elementwise multiply-adds, the fastest possible TPU
+    encoding of the reference's tridiagonal ``laplace`` family.
+
+    Convention: ``y[i] += bands[d][i] * x[i + offsets[d]]`` where out-of-range
+    positions contribute zero (``bands`` is zero-padded there).
+    """
+
+    bands: jax.Array  # (k, n)
+    offsets: tuple = dataclasses.field(metadata={"static": True})
+    nnz_stored: int = dataclasses.field(metadata={"static": True})
+
+    @property
+    def shape(self):
+        n = self.bands.shape[1]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @property
+    def nnz(self):
+        return self.nnz_stored
+
+    def matvec(self, x):
+        n = x.shape[0]
+        y = jnp.zeros(n, dtype=_result_dtype(self.dtype, x.dtype))
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                y = y + self.bands[d] * x
+            elif off > 0:
+                shifted = jnp.concatenate([x[off:], jnp.zeros(off, x.dtype)])
+                y = y + self.bands[d] * shifted
+            else:
+                shifted = jnp.concatenate([jnp.zeros(-off, x.dtype), x[:off]])
+                y = y + self.bands[d] * shifted
+        return y
+
+    def matmat(self, X):
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    @classmethod
+    def from_scipy(cls, A, dtype=None):
+        import scipy.sparse as sp
+
+        d = sp.dia_matrix(A)
+        if dtype is not None:
+            d = d.astype(dtype)
+        n = d.shape[0]
+        offsets = tuple(int(o) for o in d.offsets)
+        bands = np.zeros((len(offsets), n), dtype=d.data.dtype)
+        for k, off in enumerate(offsets):
+            # scipy DIA stores data[k, i] as the entry at column i on that
+            # diagonal, i.e. A[i - off, i]; our convention wants
+            # bands[k][r] = A[r, r + off].
+            diag = np.zeros(n, dtype=d.data.dtype)
+            if off >= 0:
+                m = n - off
+                diag[:m] = d.data[k, off : off + m]
+            else:
+                m = n + off
+                diag[-off : -off + m] = d.data[k, : m]
+            bands[k] = diag
+        nnz = int(sp.csr_matrix(A).count_nonzero())
+        return cls(jnp.asarray(bands), offsets, nnz)
+
+    def tree_flatten(self):
+        return (self.bands,), (self.offsets, self.nnz_stored)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+class CallableOperator:
+    """Wrap an arbitrary jittable matvec closure as an operator."""
+
+    def __init__(self, fn, shape, dtype, nnz=None):
+        self.fn = fn
+        self._shape = tuple(shape)
+        self._dtype = jnp.dtype(dtype)
+        self._nnz = nnz if nnz is not None else shape[0] * shape[1]
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def nnz(self):
+        return self._nnz
+
+    def matvec(self, x):
+        return self.fn(x)
+
+    def matmat(self, X):
+        return jax.vmap(self.fn, in_axes=1, out_axes=1)(X)
+
+    def tree_flatten(self):
+        return (), (self.fn, self._shape, self._dtype, self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], aux[2], aux[3])
+
+
+#: Union type for documentation purposes.
+LinearOperator = (DenseOperator, EllOperator, BandedOperator, CallableOperator)
+
+
+def as_operator(A, dtype=None, format=None):
+    """Coerce ``A`` to a device operator.
+
+    Accepts an existing operator, a NumPy/JAX dense array, or any SciPy
+    sparse matrix.  ``format`` forces 'dense', 'ell', or 'banded'; by default
+    sparse inputs go to ELL unless they are recognisably banded with few
+    diagonals (DIA wins for stencils).
+    """
+    import scipy.sparse as sp
+
+    if isinstance(A, LinearOperator):
+        return A
+    if isinstance(A, (np.ndarray, jax.Array)):
+        arr = jnp.asarray(A, dtype=dtype)
+        return DenseOperator(arr)
+    if sp.issparse(A):
+        if format == "dense":
+            return DenseOperator(jnp.asarray(A.todense(), dtype=dtype))
+        if format == "banded":
+            return BandedOperator.from_scipy(A, dtype=dtype)
+        if format == "ell":
+            return EllOperator.from_scipy(A, dtype=dtype)
+        if format is None:
+            # Heuristic: DIA when the matrix is a stencil (few distinct
+            # diagonals). Probe via COO offsets without building DIA.
+            coo = A.tocoo()
+            n_diags = np.unique(coo.col.astype(np.int64) - coo.row).size
+            if n_diags <= 16:
+                return BandedOperator.from_scipy(A, dtype=dtype)
+            return EllOperator.from_scipy(A, dtype=dtype)
+        raise ValueError(f"Unknown operator format {format!r}")
+    raise TypeError(f"Cannot convert {type(A)} to a linear operator")

@@ -1,0 +1,138 @@
+"""Test-matrix generators and loaders (host tier).
+
+Capability parity with the reference's ``src/arnoldi/matrices.py`` (``mark``,
+``laplace``, ``laplace_eigen``) plus the SuiteSparse ``.mat`` loader that the
+reference keeps in its script layer (``scripts/utils.py:102-116``), and a 2-D
+Laplacian used by the benchmark configs.  Generators return SciPy CSR on the
+host; convert with :func:`arnoldi_tpu.linop.as_operator` for device execution.
+
+The generators here are vectorized NumPy (the reference's ``mark`` is an
+explicit Python loop it itself labels naive, ``matrices.py:22``); outputs are
+validated against the reference's golden values in ``tests/test_matrices.py``.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def mark(m, dtype=np.float64):
+    """Markov random-walk transition matrix on a triangular grid with ``m`` rows.
+
+    ``n = m*(m+1)/2`` states ``(i, j)`` with ``0 <= i < m``, ``0 <= j < m-i``,
+    enumerated row-major.  From state ``(i, j)`` the walk moves
+
+    * north ``(i, j+1)`` and east ``(i+1, j)`` with weight
+      ``pd = 0.5*(i+j+1)/(m-1)`` — doubled on the ``i == 0`` (north) and
+      ``j == 0`` (east) boundaries (reflection),
+    * south ``(i, j-1)`` and west ``(i-1, j)`` with weight
+      ``pu = 0.5 - 0.5*(i+j-1)/(m-1)`` where those neighbours exist.
+
+    This is the example operator of Saad, *Numerical Methods for Large
+    Eigenvalue Problems* (2nd ed.) §2.5.1, whose convergence tables 6.1-6.3
+    anchor the test suite.  Matches the reference generator
+    (``src/arnoldi/matrices.py:5-73``) entry-for-entry.
+    """
+    if m < 2:
+        raise ValueError("mark(m) requires m >= 2")
+    n = m * (m + 1) // 2
+    cst = 0.5 / (m - 1)
+
+    # State coordinates, row-major: i is the grid row, j the offset inside it.
+    i = np.repeat(np.arange(m), np.arange(m, 0, -1))
+    j = np.arange(n) - np.repeat(np.cumsum(np.concatenate([[0], np.arange(m, 1, -1)])), np.arange(m, 0, -1))
+    ix = np.arange(n)
+    jmax = m - i
+
+    pd = cst * (i + j + 1)
+    pu = 0.5 - cst * (i + j - 1)
+
+    rows, cols, vals = [], [], []
+
+    interior = j < jmax - 1  # states with north/east moves
+    # North: (i, j) -> (i, j+1); doubled on the i == 0 boundary.
+    rows.append(ix[interior])
+    cols.append(ix[interior] + 1)
+    vals.append(pd[interior] * np.where(i[interior] == 0, 2.0, 1.0))
+    # East: (i, j) -> (i+1, j); doubled on the j == 0 boundary.
+    rows.append(ix[interior])
+    cols.append(ix[interior] + jmax[interior])
+    vals.append(pd[interior] * np.where(j[interior] == 0, 2.0, 1.0))
+    # South: (i, j) -> (i, j-1).
+    south = j > 0
+    rows.append(ix[south])
+    cols.append(ix[south] - 1)
+    vals.append(pu[south])
+    # West: (i, j) -> (i-1, j).
+    west = i > 0
+    rows.append(ix[west])
+    cols.append(ix[west] - jmax[west] - 1)
+    vals.append(pu[west])
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals).astype(dtype)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+
+
+def laplace(n, dtype=None):
+    """1-D Laplacian: tridiagonal with -2 on the diagonal, 1 off-diagonal.
+
+    Parity with ``src/arnoldi/matrices.py:87-95``.
+    """
+    off = np.ones(n - 1, dtype=dtype)
+    main = -2 * np.ones(n, dtype=dtype)
+    return sp.diags_array([main, off, off], offsets=[0, -1, 1])
+
+
+def laplace_eigen(n):
+    """Analytic spectrum of :func:`laplace`: ``-2 + 2 cos(k pi / (n+1))``.
+
+    Parity with ``src/arnoldi/matrices.py:76-84``.
+    """
+    return -2 + 2 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+
+
+def laplace_2d(nx, ny=None, dtype=None):
+    """2-D five-point Laplacian on an ``nx x ny`` grid (Dirichlet).
+
+    ``n = nx*ny`` pentadiagonal matrix with -4 on the diagonal; used by the
+    benchmark configs (BASELINE.json config #2).
+    """
+    ny = ny or nx
+    lx = laplace(nx, dtype=dtype)
+    ly = laplace(ny, dtype=dtype)
+    return (sp.kron(sp.eye_array(ny), lx) + sp.kron(ly, sp.eye_array(nx))).tocsr()
+
+
+def laplace_2d_eigen(nx, ny=None):
+    """Analytic spectrum of :func:`laplace_2d` (all ``nx*ny`` eigenvalues)."""
+    ny = ny or nx
+    ex = laplace_eigen(nx)
+    ey = laplace_eigen(ny)
+    return (ex[None, :] + ey[:, None]).ravel()
+
+
+def load_suitesparse_mat(path, dtype=None):
+    """Load a SuiteSparse collection ``.mat`` file to CSR.
+
+    Mirrors the reference harness loader (``scripts/utils.py:102-116``): the
+    matrix lives at ``Problem['A'][0, 0]``.
+    """
+    from scipy.io import loadmat
+
+    contents = loadmat(path)
+    A = contents["Problem"]["A"][0, 0]
+    A = sp.csr_matrix(A)
+    if dtype is not None:
+        A = A.astype(dtype)
+    return A
+
+
+def load_matrix_market(path, dtype=None):
+    """Load a MatrixMarket ``.mtx``/``.mtx.gz`` file to CSR."""
+    from scipy.io import mmread
+
+    A = sp.csr_matrix(mmread(path))
+    if dtype is not None:
+        A = A.astype(dtype)
+    return A

@@ -1,0 +1,188 @@
+"""Arnoldi decomposition core (the hot loop) and Ritz extraction.
+
+Semantics parity with the reference's ``src/arnoldi/decomposition.py``:
+
+* :func:`arnoldi_expand` — extend an Arnoldi factorization ``(V, H)`` from
+  ``start_dim`` to ``max_dim`` columns, maintaining the invariant
+  ``A V_m = V_m H_m + h_{m+1,m} v_{m+1} e_m^H`` (reference
+  ``decomposition.py:13-68``), with breakdown (invariant subspace) detection.
+* :class:`RitzDecomposition` — Ritz values/vectors + approximate residuals
+  ``|h_{m+1,m} * s_i[-1]|`` from the small projected eigenproblem
+  (reference ``decomposition.py:71-146``).
+
+TPU-first design (deliberately NOT the reference's mutable in-place API):
+
+* The factorization state is an immutable pytree of fixed-shape arrays
+  ``V: (n, m+1)`` and ``H: (m+1, m)``; "length" is data, not shape.  The
+  reference's early-return truncation on breakdown
+  (``decomposition.py:61-63``) becomes a ``lax.while_loop`` exit with the
+  reached dimension ``n_iter`` returned as a traced scalar.
+* The whole expansion — matvec, masked Gram-Schmidt projection (two MXU
+  matmuls), Hessenberg column writes — is one jitted function; nothing
+  round-trips to the host inside the loop.
+* The projected ``m x m`` eigenproblem is solved on the host (it is tiny and
+  LAPACK-shaped); only ``V_m @ S`` (tall matmul) runs on device.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..linop import as_operator
+from ..ops.ortho import resolve_ortho
+from ..utils.sorting import arg_largest_magnitude
+
+
+def default_invariant_tol(dtype):
+    """sqrt(eps) of the operator dtype — reference ``decomposition.py:41-42``
+    (logic credited there to ArnoldiMethod.jl)."""
+    return float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
+
+
+@partial(jax.jit, static_argnames=("start_dim", "max_dim", "ortho"))
+def _expand_jit(op, V, H, invariant_tol, *, start_dim, max_dim, ortho):
+    ortho_fn = resolve_ortho(ortho)
+    mp1 = V.shape[1]
+    rdtype = jnp.finfo(V.dtype).dtype
+
+    def cond_fn(state):
+        V, H, j, done = state
+        return jnp.logical_and(j < max_dim, jnp.logical_not(done))
+
+    def body_fn(state):
+        V, H, j, _ = state
+        v_j = lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0]
+        w = op.matvec(v_j).astype(V.dtype)
+        h, w, beta, breakdown = ortho_fn(V, w, j + 1, tol=invariant_tol)
+        # Column j of H: projection coefficients in rows 0..j, the coupling
+        # coefficient beta at row j+1 (left at zero on breakdown, matching
+        # the reference's truncated return where H[j+1, j] is never written).
+        beta_entry = jnp.where(breakdown, jnp.zeros((), rdtype), beta).astype(V.dtype)
+        col = jnp.where(jnp.arange(mp1) == j + 1, beta_entry, h)
+        H = lax.dynamic_update_slice(H, col[:, None], (0, j))
+        # Next basis vector: w / beta, or the raw (near-zero) w on breakdown
+        # (its coupling coefficient is zero so it never enters the invariant).
+        safe_beta = jnp.where(breakdown, jnp.ones((), rdtype), beta)
+        v_next = jnp.where(breakdown, w, w / safe_beta)
+        V = lax.dynamic_update_slice(V, v_next[:, None], (0, j + 1))
+        return V, H, j + 1, breakdown
+
+    V, H, j, _ = lax.while_loop(
+        cond_fn, body_fn, (V, H, jnp.asarray(start_dim), jnp.asarray(False))
+    )
+    return V, H, j
+
+
+def arnoldi_expand(A, V, H, invariant_tol=None, *, start_dim=0, max_dim=None,
+                   ortho="cgs_dgks"):
+    """Extend the Arnoldi factorization ``(V, H)`` of ``A``.
+
+    Parameters
+    ----------
+    A : operator-like (see :func:`arnoldi_tpu.linop.as_operator`).
+    V : (n, m+1) array with columns ``0..start_dim`` valid (column
+        ``start_dim`` is the next start vector, unit norm) and the rest zero
+        or stale (they are masked).
+    H : (m+1, m) array, valid in the leading ``start_dim`` columns.
+    invariant_tol : breakdown threshold; default ``sqrt(eps(A.dtype))``.
+    start_dim, max_dim : static ints — extend columns ``start_dim..max_dim``.
+    ortho : orthogonalization kernel name or callable
+        (see ``arnoldi_tpu.ops.ortho.ORTHO_KERNELS``).
+
+    Returns
+    -------
+    V, H : updated arrays (same fixed shapes).
+    n_iter : traced int scalar — reached dimension; ``< max_dim`` iff the
+        expansion hit an invariant subspace ("happy breakdown").
+    """
+    op = as_operator(A)
+    m = V.shape[1] - 1
+    n = op.shape[0]
+    assert op.shape[1] == n, "A is expected to be a square operator"
+    assert V.shape == (n, m + 1), "V must have the same number of rows as A"
+    assert H.shape == (m + 1, m), f"H must be {(m + 1, m)}, is {H.shape}"
+    if max_dim is None:
+        max_dim = m
+    assert max_dim <= m, "max_dim > m violated"
+    assert 0 <= start_dim <= max_dim
+
+    if invariant_tol is None:
+        invariant_tol = default_invariant_tol(op.dtype)
+
+    rdtype = jnp.finfo(jnp.asarray(V).dtype).dtype
+    return _expand_jit(
+        op, jnp.asarray(V), jnp.asarray(H), jnp.asarray(invariant_tol, rdtype),
+        start_dim=int(start_dim), max_dim=int(max_dim), ortho=ortho,
+    )
+
+
+def arnoldi_decomposition(A, V, H, invariant_tol=None, *, start_dim=0,
+                          max_dim=None, ortho="cgs_dgks"):
+    """Reference-signature driver (``decomposition.py:13-68``): like
+    :func:`arnoldi_expand` but returns host-truncated views
+    ``(V[:, :n_iter+1], H[:n_iter+1, :n_iter], n_iter)`` so downstream
+    host-tier code sees the same shapes as the reference API.
+    """
+    V, H, n_iter_dev = arnoldi_expand(
+        A, V, H, invariant_tol, start_dim=start_dim, max_dim=max_dim,
+        ortho=ortho,
+    )
+    n_iter = int(n_iter_dev)
+    return V[:, : n_iter + 1], H[: n_iter + 1, :n_iter], n_iter
+
+
+@dataclasses.dataclass
+class RitzDecomposition:
+    """Ritz eigenpair approximations extracted from an Arnoldi factorization.
+
+    Parity with reference ``decomposition.py:71-146``: ``values`` (host),
+    ``vectors`` (device, (n, n_ritz)), and ``approximate_residuals``
+    ``|h_{m+1,m} * s_i[-1]|`` — the residual identity
+    ``||A u_i - lambda_i u_i|| = |h_{m+1,m}| |<e_m, s_i>|``.
+    """
+
+    values: np.ndarray
+    vectors: jax.Array
+    approximate_residuals: np.ndarray
+
+    @classmethod
+    def from_v_and_h(cls, V, H, n_ritz, *, max_dim=None, sort_function=None):
+        """Extract ``n_ritz`` Ritz pairs from ``(V, H)``.
+
+        ``V``/``H`` may be the full fixed-shape workspace with ``max_dim``
+        giving the active length, or reference-style truncated arrays.
+        """
+        if max_dim is None:
+            max_dim = V.shape[1] - 1
+        assert H.shape[0] > max_dim
+        assert H.shape[1] >= max_dim
+        assert V.shape[1] > max_dim
+        assert n_ritz <= max_dim
+        if sort_function is None:
+            sort_function = arg_largest_magnitude
+
+        H_host = np.asarray(H)
+        H_m = H_host[:max_dim, :max_dim]
+        eigvals, eigvecs = np.linalg.eig(H_m)
+        ind = np.asarray(sort_function(eigvals))[:n_ritz]
+        S = eigvecs[:, ind]
+
+        ritz_values = eigvals[ind]
+        # Tall matmul on device: (n, m) @ (m, k).
+        V_m = jnp.asarray(V)[:, :max_dim]
+        ritz_vectors = V_m @ jnp.asarray(S, dtype=V_m.dtype)
+
+        approximate_residuals = np.abs(H_host[max_dim, max_dim - 1] * S[-1])
+        return cls(ritz_values, ritz_vectors, approximate_residuals)
+
+    def compute_true_residuals(self, A):
+        """``res[i] = ||A v_i - lambda_i v_i||`` — requires matvecs with A
+        (reference ``decomposition.py:134-146``)."""
+        op = as_operator(A)
+        AV = op.matmat(self.vectors)
+        lam = jnp.asarray(self.values, dtype=AV.dtype)
+        return np.asarray(jnp.linalg.norm(AV - self.vectors * lam[None, :], axis=0))

@@ -1,0 +1,207 @@
+"""Explicit-restart Arnoldi drivers: naive and deflation/locking.
+
+Parity with the reference ``src/arnoldi/explicit_restarts.py``:
+
+* :func:`naive_explicit_restarts` (``:31-60``) — single-eigenvalue
+  polynomial restart: run Arnoldi to m, restart with the best Ritz vector,
+  accept only when both the approximate and the *true* relative residual
+  pass.  Pedagogical tier anchoring Saad's table 6.2.
+* :func:`explicit_restarts_with_deflation` (``:80-168``) — computes nev
+  eigenpairs one at a time, locking each converged eigenvector into the
+  leading columns of V (which subsequent expansions orthogonalize against
+  but never modify, via ``start_dim=k``), building the projected H column
+  by Rayleigh quotients at lock time, and re-diagonalizing the final
+  ``H[:nev, :nev]`` (the reference notes this is required for Markov-type
+  matrices, ``:162-167``).
+
+Device/host split: expansions, Ritz-vector matmuls, and locked-basis
+orthogonalization run jitted on device; the small projected eigenproblem and
+the restart bookkeeping run on the host.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..linop import as_operator
+from ..ops import dense_tier
+from ..ops.ortho import cgs_dgks
+from ..utils.history import History
+from ..utils.random import rand_normalized_vector
+from ..utils.sorting import arg_largest_magnitude
+from .decomposition import (
+    RitzDecomposition,
+    arnoldi_expand,
+    default_invariant_tol,
+)
+
+__all__ = [
+    "History",
+    "naive_explicit_restarts",
+    "explicit_restarts_with_deflation",
+    "mgs_orthogonalize",
+]
+
+
+@partial(jax.jit, static_argnames=())
+def _ortho_against_locked(V, v, n_locked):
+    """Orthonormalize ``v`` against the first ``n_locked`` columns of ``V``
+    (DGKS-stabilized CGS on device).  Returns (v_ortho, beta)."""
+    h, w, beta, _ = cgs_dgks(V, v, n_locked, tol=0.0)
+    safe = jnp.where(beta == 0, 1.0, beta)
+    return w / safe, beta
+
+
+def mgs_orthogonalize(basis, w, tol):
+    """Reference-compatible helper (``explicit_restarts.py:63-77``):
+    orthonormalize ``w`` against all columns of ``basis``; raises if the
+    norm collapses below ``tol``."""
+    basis = jnp.asarray(basis)
+    w = jnp.asarray(w, dtype=basis.dtype)
+    v, beta = _ortho_against_locked(basis, w, basis.shape[1])
+    if float(beta) <= tol:
+        raise AssertionError("MGS: Too small norm when orthornormalizing")
+    return v
+
+
+def naive_explicit_restarts(A, m=None, *, stopping_criterion=None,
+                            max_restarts=10, ortho="cgs_dgks", dtype=None,
+                            key=None):
+    """Single-eigenvalue explicit restarts (largest magnitude).
+
+    Returns ``(ritz, has_converged, n_restarts)`` like the reference.
+    """
+    op = as_operator(A)
+    n = op.shape[0]
+
+    tol = default_invariant_tol(op.dtype) if stopping_criterion is None \
+        else float(stopping_criterion)
+
+    ct = np.result_type(np.dtype(op.dtype), np.complex64)
+    wdtype = jax.dtypes.canonicalize_dtype(ct) if dtype is None \
+        else jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+
+    k = 1  # naive restart only converges the dominant eigenpair
+    if m is None:
+        m = min(max(2 * k + 1, 20), n)
+
+    if key is None:
+        key = jax.random.key(0)
+    v0 = rand_normalized_vector(key, n, wdtype)
+
+    ritz = None
+    for i in range(max_restarts):
+        V = jnp.zeros((n, m + 1), dtype=wdtype).at[:, 0].set(v0)
+        H = jnp.zeros((m + 1, m), dtype=wdtype)
+        V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=0, max_dim=m,
+                                      ortho=ortho)
+        n_iter = int(n_iter)
+        ritz = RitzDecomposition.from_v_and_h(V, H, k, max_dim=n_iter)
+        if ritz.approximate_residuals[0] < tol:
+            residuals = ritz.compute_true_residuals(op)
+            if residuals[0] / max(abs(ritz.values[0]), tol) < tol:
+                return ritz, True, i
+        # Restart with the dominant Ritz vector.
+        v0 = ritz.vectors[:, 0]
+        v0 = v0 / jnp.linalg.norm(v0)
+
+    return ritz, False, max_restarts
+
+
+def explicit_restarts_with_deflation(
+    A, nev, *, max_dim=None, stopping_criterion=None, max_restarts=100,
+    sort_function=None, ortho="cgs_dgks", dtype=None, key=None,
+):
+    """Compute ``nev`` eigenpairs by explicitly-restarted Arnoldi with
+    deflation/locking.
+
+    Returns ``(eigenvalues, eigenvectors, history)`` like the reference.
+    """
+    op = as_operator(A)
+    n = op.shape[0]
+    assert op.shape[1] == n
+
+    tol = default_invariant_tol(op.dtype) if stopping_criterion is None \
+        else float(stopping_criterion)
+    if sort_function is None:
+        sort_function = arg_largest_magnitude
+    assert max_restarts > 0
+
+    if max_dim is None:
+        max_dim = min(max(2 * nev + 1, 20), n)
+
+    ct = np.result_type(np.dtype(op.dtype), np.complex64)
+    wdtype = jax.dtypes.canonicalize_dtype(ct) if dtype is None \
+        else jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+
+    V = jnp.zeros((n, max_dim + 1), dtype=wdtype)
+    H_host = np.zeros((max_dim + 1, max_dim), dtype=wdtype)
+
+    history = History.from_k(nev)
+    if key is None:
+        key = jax.random.key(0)
+
+    for k in range(nev):
+        key, sub = jax.random.split(key)
+        v0 = rand_normalized_vector(sub, n, wdtype)
+        v0, beta = _ortho_against_locked(V, v0, k)
+        assert float(beta) > tol, "start vector collapsed onto locked basis"
+        V = V.at[:, k].set(v0)
+
+        matvecs_k = 0
+        converged_k = False
+        for restart in range(max_restarts):
+            H = jnp.asarray(H_host)
+            V, H, n_iter = arnoldi_expand(
+                op, V, H, tol, start_dim=k, max_dim=max_dim, ortho=ortho
+            )
+            m = int(n_iter)
+            assert m > k
+            matvecs_k += m - k
+            happy_breakdown = m != max_dim
+
+            H_host = np.array(H)  # writable host copy
+            # Ritz extraction on the deflated sub-factorization
+            # (reference :130-135): V[:, k:m+1], H[k:m+1, k:m].
+            V_k = V[:, k : m + 1]
+            H_k = H_host[k : m + 1, k:m]
+            ritz = RitzDecomposition.from_v_and_h(
+                V_k, H_k, m - k, sort_function=sort_function
+            )
+
+            lambda_k = ritz.values[0]
+            v_k = ritz.vectors[:, 0]
+            v_k = v_k / jnp.linalg.norm(v_k)
+
+            # Re-orthogonalize the candidate against the locked basis.
+            v_k, beta = _ortho_against_locked(V, v_k, k)
+            assert float(beta) > tol, "Ritz vector collapsed onto locked basis"
+            V = V.at[:, k].set(v_k)
+
+            approximate_convergence = (
+                ritz.approximate_residuals / np.abs(ritz.values)
+            )
+            converged_k = happy_breakdown or bool(
+                approximate_convergence[0] < tol
+            )
+            if converged_k:
+                # Lock: build column k of the projected H by Rayleigh
+                # quotients against the locked basis (reference :149-151).
+                Av = op.matvec(V[:, k]).astype(wdtype)
+                coeffs = np.asarray(V[:, : k + 1].conj().T @ Av)
+                H_host[: k + 1, k] = coeffs
+                H_host[k + 1 : -1, k] = 0
+
+                history.matvecs[k] = matvecs_k
+                history.restarts[k] = restart + 1
+                break
+        if not converged_k:
+            raise ValueError(f"Could not converge for value {k}")
+
+    # Final re-diagonalization of the projected matrix (reference :162-167;
+    # required for Markov-type matrices).
+    eivals, Y = dense_tier.eig(H_host[:nev, :nev])
+    eivecs = V[:, :nev] @ jnp.asarray(Y, dtype=wdtype)
+    return eivals, eivecs, history

@@ -1,0 +1,100 @@
+"""Explicit-restart driver tests: Saad tables 6.2/6.3 convergence anchors,
+ARPACK cross-validation with Hungarian matching, and non-convergence
+failure paths — the reference's ``tests/test_explicit_restarts.py`` oracle
+set with seeded determinism."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.sparse.linalg import eigs
+
+from arnoldi_tpu.solvers.explicit_restarts import (
+    explicit_restarts_with_deflation,
+    naive_explicit_restarts,
+)
+from arnoldi_tpu.matrices import mark
+from arnoldi_tpu.utils.sorting import arg_largest_real
+
+from common import find_best_matching
+
+norm = np.linalg.norm
+
+
+class TestNaiveExplicitRestarts:
+    @pytest.mark.parametrize(
+        "restarts, digits", [(1, 0), (2, 1), (3, 3), (4, 5), (5, 6)]
+    )
+    def test_mark10(self, restarts, digits):
+        # Saad table 6.2 anchors.
+        A = mark(10)
+        m = 10
+        ritz, *_ = naive_explicit_restarts(
+            A, m, max_restarts=restarts, key=jax.random.key(21)
+        )
+        assert ritz.compute_true_residuals(A)[0] <= 2 * 10 ** (-digits)
+
+    def test_convergence(self):
+        A = mark(10)
+        m = 20
+        atol = 1e-6
+        ritz, has_converged, *_ = naive_explicit_restarts(
+            A, m, max_restarts=200, stopping_criterion=atol,
+            key=jax.random.key(2),
+        )
+        assert ritz.compute_true_residuals(A)[0] <= atol
+        assert has_converged
+
+
+class TestExplicitRestartsWithDeflation:
+    def ensure_values_match_with_arpack(
+        self, A, k, max_dim=None, which="LM", tol=None, max_restarts=100,
+        seed=31,
+    ):
+        match which:
+            case "LM":
+                sort_function = None  # exercise the default path
+            case "LR":
+                sort_function = arg_largest_real
+            case _:
+                raise ValueError(f"Mode {which} not supported")
+
+        r_vals = eigs(A, k, which=which)[0]
+
+        vals, vecs, history = explicit_restarts_with_deflation(
+            A, k, max_dim=max_dim, stopping_criterion=tol,
+            sort_function=sort_function, max_restarts=max_restarts,
+            key=jax.random.key(seed),
+        )
+        vecs = np.asarray(vecs)
+        residuals = norm(A @ vecs - vals * vecs, axis=0)
+
+        assert history.k == k
+        np.testing.assert_allclose(residuals, 0, rtol=1e-4, atol=1e-8)
+        vals, r_vals = find_best_matching(vals, r_vals)
+        np.testing.assert_allclose(vals, r_vals, rtol=1e-4, atol=1e-8)
+        return history
+
+    def test_mark10(self):
+        # Saad table 6.3 setting: k=3, m=10, LR.
+        A = mark(10)
+        history = self.ensure_values_match_with_arpack(
+            A, 3, 10, which="LR", tol=1e-8
+        )
+        assert history.total_matvecs > 0
+        assert all(history.restarts >= 1)
+
+    def test_simple(self):
+        rng = np.random.default_rng(17)
+        D = np.diag([7, 7, 5, 4, 3, 2, 1]).astype(float)
+        n = D.shape[0]
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = Q.T @ D @ Q
+        self.ensure_values_match_with_arpack(sp.csr_matrix(A), 3)
+
+    def test_fail_convergence(self):
+        A = mark(10)
+        with pytest.raises(ValueError, match="Could not converge for value 0"):
+            self.ensure_values_match_with_arpack(
+                A, 3, max_dim=5, tol=1e-16, max_restarts=10
+            )

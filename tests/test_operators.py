@@ -1,0 +1,90 @@
+"""Operator-layer tests: every device format must reproduce SciPy's matvec
+exactly on random sparse, Markov, and Laplace matrices."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from arnoldi_tpu.linop import (
+    BandedOperator,
+    DenseOperator,
+    EllOperator,
+    as_operator,
+)
+from arnoldi_tpu.matrices import laplace, laplace_2d, mark
+
+
+def random_sparse(rng, n, density=0.1, complex_=False):
+    A = sp.random(n, n, density=density, random_state=np.random.RandomState(42))
+    if complex_:
+        A = A + 1j * sp.random(
+            n, n, density=density, random_state=np.random.RandomState(43)
+        )
+    return sp.csr_matrix(A)
+
+
+MATRICES = {
+    "random": lambda rng: random_sparse(rng, 50),
+    "random_complex": lambda rng: random_sparse(rng, 40, complex_=True),
+    "mark10": lambda rng: mark(10),
+    "laplace64": lambda rng: laplace(64).tocsr(),
+    "laplace2d8": lambda rng: laplace_2d(8),
+}
+
+
+@pytest.mark.parametrize("name", list(MATRICES))
+@pytest.mark.parametrize("fmt", ["dense", "ell", "banded"])
+def test_matvec_matches_scipy(name, fmt, rng):
+    A = MATRICES[name](rng)
+    op = as_operator(A, format=fmt)
+    n = A.shape[0]
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), A @ x, rtol=1e-12, atol=1e-12
+    )
+    # complex input promotes
+    xc = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(xc))), A @ xc, rtol=1e-12, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("name", list(MATRICES))
+def test_matmat(name, rng):
+    A = MATRICES[name](rng)
+    op = as_operator(A)
+    n = A.shape[0]
+    X = rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+    np.testing.assert_allclose(
+        np.asarray(op.matmat(jnp.asarray(X))), A @ X, rtol=1e-12, atol=1e-12
+    )
+
+
+def test_nnz_accounting(rng):
+    A = mark(10)
+    for fmt in ("ell", "banded"):
+        op = as_operator(A, format=fmt)
+        assert op.nnz == A.nnz
+
+
+def test_default_format_selection(rng):
+    # Stencil matrices pick the banded format, scattered ones ELL.
+    assert isinstance(as_operator(laplace(100)), BandedOperator)
+    assert isinstance(as_operator(random_sparse(rng, 60)), EllOperator)
+    assert isinstance(as_operator(np.eye(5)), DenseOperator)
+
+
+def test_operators_jit_through(rng):
+    import jax
+
+    A = as_operator(mark(10))
+
+    @jax.jit
+    def f(op, x):
+        return op.matvec(x)
+
+    x = jnp.asarray(rng.standard_normal(A.shape[0]))
+    np.testing.assert_allclose(
+        np.asarray(f(A, x)), mark(10) @ np.asarray(x), rtol=1e-12, atol=1e-12
+    )
