@@ -30,6 +30,11 @@ def _result_dtype(op_dtype, x_dtype):
     return jnp.result_type(op_dtype, x_dtype)
 
 
+#: Matvec accuracy matters more than MXU throughput for Krylov residuals:
+#: the TPU default (single-pass bfloat16 for f32) loses ~16 bits.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class DenseOperator:
@@ -50,10 +55,10 @@ class DenseOperator:
         return self.A.shape[0] * self.A.shape[1]
 
     def matvec(self, x):
-        return self.A @ x
+        return jnp.matmul(self.A, x, precision=_PREC)
 
     def matmat(self, X):
-        return self.A @ X
+        return jnp.matmul(self.A, X, precision=_PREC)
 
     def tree_flatten(self):
         return (self.A,), None
@@ -97,7 +102,7 @@ class EllOperator:
 
     def matmat(self, X):
         gathered = jnp.take(X, self.cols, axis=0)  # (n, L, k)
-        return jnp.einsum("nl,nlk->nk", self.data, gathered)
+        return jnp.einsum("nl,nlk->nk", self.data, gathered, precision=_PREC)
 
     @classmethod
     def from_scipy(cls, A, dtype=None):

@@ -1,0 +1,132 @@
+"""ctypes binding for the native dense tier (``dense_tier.cpp``).
+
+Lazily compiles the shared library on first use (cached next to this file)
+and exposes NumPy-friendly wrappers with the same contracts the Python
+dispatch layer (:mod:`arnoldi_tpu.ops.dense_tier`) expects.  All native
+computation is complex128; complex64 inputs are upcast and the results cast
+back, preserving the reference's dtype contract
+(``tests/test_utils.py`` of the reference asserts F-in F-out).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "dense_tier.cpp")
+_LIB_PATH = os.path.join(_HERE, "libdense_tier.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+_c128 = np.ctypeslib.ndpointer(dtype=np.complex128, flags="C_CONTIGUOUS")
+_i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-march=native",
+        _SRC, "-o", _LIB_PATH,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.schur_z.argtypes = [ctypes.c_int, _c128, _c128]
+            lib.schur_z.restype = ctypes.c_int
+            lib.trexc_z.argtypes = [ctypes.c_int, _c128, _c128,
+                                    ctypes.c_int, ctypes.c_int]
+            lib.trexc_z.restype = ctypes.c_int
+            lib.ordered_schur_z.argtypes = [ctypes.c_int, _c128, _c128, _i32]
+            lib.ordered_schur_z.restype = ctypes.c_int
+            lib.trevc_z.argtypes = [ctypes.c_int, _c128, _c128]
+            lib.trevc_z.restype = ctypes.c_int
+            lib.eig_z.argtypes = [ctypes.c_int, _c128, _c128, _c128]
+            lib.eig_z.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _build_failed = True
+            _lib = None
+        return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def _as_c128(A):
+    return np.ascontiguousarray(np.asarray(A), dtype=np.complex128)
+
+
+def schur_complex(A):
+    """Complex Schur ``A = Z T Z^H``; preserves complex64/complex128 dtype."""
+    lib = _load()
+    in_dtype = np.result_type(np.asarray(A).dtype, np.complex64)
+    T = _as_c128(A).copy()
+    n = T.shape[0]
+    Z = np.zeros((n, n), dtype=np.complex128)
+    rc = lib.schur_z(n, T, Z)
+    if rc != 0:
+        raise RuntimeError(f"native schur_z failed to converge (rc={rc})")
+    return T.astype(in_dtype), Z.astype(in_dtype)
+
+
+def trexc(T, Z, ifst, ilst):
+    lib = _load()
+    in_dtype = np.asarray(T).dtype
+    T = _as_c128(T).copy()
+    Z = _as_c128(Z).copy()
+    rc = lib.trexc_z(T.shape[0], T, Z, int(ifst), int(ilst))
+    if rc != 0:
+        raise RuntimeError(f"native trexc_z failed (rc={rc})")
+    return T.astype(in_dtype), Z.astype(in_dtype)
+
+
+def ordered_schur(T, Z, order):
+    """Greedy reorder of an existing Schur form — one native call for the
+    reference's whole utils.py:45-63 loop."""
+    lib = _load()
+    in_dtype = np.asarray(T).dtype
+    T = _as_c128(T).copy()
+    Z = _as_c128(Z).copy()
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    rc = lib.ordered_schur_z(T.shape[0], T, Z, order)
+    if rc != 0:
+        raise RuntimeError(f"native ordered_schur_z failed (rc={rc})")
+    return T.astype(in_dtype), Z.astype(in_dtype)
+
+
+def triangular_eigvecs(T):
+    lib = _load()
+    in_dtype = np.result_type(np.asarray(T).dtype, np.complex64)
+    Tc = _as_c128(T)
+    n = Tc.shape[0]
+    S = np.zeros((n, n), dtype=np.complex128)
+    lib.trevc_z(n, Tc, S)
+    return S.astype(in_dtype)
+
+
+def eig(A):
+    lib = _load()
+    in_dtype = np.result_type(np.asarray(A).dtype, np.complex64)
+    Ac = _as_c128(A).copy()
+    n = Ac.shape[0]
+    vals = np.zeros(n, dtype=np.complex128)
+    vecs = np.zeros((n, n), dtype=np.complex128)
+    rc = lib.eig_z(n, Ac, vals, vecs)
+    if rc != 0:
+        raise RuntimeError(f"native eig_z failed (rc={rc})")
+    return vals.astype(in_dtype), vecs.astype(in_dtype)

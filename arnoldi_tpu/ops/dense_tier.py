@@ -56,7 +56,10 @@ def schur_complex(A):
     ct = _complex_type(A.dtype)
     nat = _native()
     if nat is not None:
-        return nat.schur_complex(A.astype(ct))
+        try:
+            return nat.schur_complex(A.astype(ct))
+        except RuntimeError:
+            pass  # non-convergence in the native QR: fall back to LAPACK
     from scipy.linalg import schur
 
     return schur(A.astype(ct), output="complex")
@@ -114,6 +117,114 @@ def ordered_schur(a, output="complex", *, sort_function=None):
             moved = current_pos.pop(source)
             current_pos.insert(target, moved)
     return T, Z
+
+
+def schur_real(A):
+    """Real Schur factorization ``A = Z T Z^T`` with T quasi-triangular
+    (1x1 blocks for real eigenvalues, 2x2 blocks for conjugate pairs)."""
+    from scipy.linalg import schur
+
+    A = np.asarray(A)
+    assert not np.iscomplexobj(A)
+    return schur(A, output="real")
+
+
+def real_schur_blocks(T, tol=None):
+    """Partition a real quasi-triangular T into diagonal blocks.
+
+    Returns ``(starts, sizes)``: lists of the 0-based start row and size
+    (1 or 2) of each block, detected from nonzero subdiagonal entries.
+    """
+    T = np.asarray(T)
+    n = T.shape[0]
+    if tol is None:
+        tol = 0.0  # LAPACK sets sub-diagonal entries of 1x1 blocks exactly 0
+    starts, sizes = [], []
+    i = 0
+    while i < n:
+        if i + 1 < n and abs(T[i + 1, i]) > tol:
+            starts.append(i)
+            sizes.append(2)
+            i += 2
+        else:
+            starts.append(i)
+            sizes.append(1)
+            i += 1
+    return starts, sizes
+
+
+def real_schur_eigvals(T):
+    """Eigenvalues of a real quasi-triangular T, positionally: entry i is the
+    eigenvalue 'living at' diagonal position i (conjugate pairs occupy their
+    block's two positions as lambda, conj(lambda))."""
+    T = np.asarray(T)
+    n = T.shape[0]
+    vals = np.zeros(n, dtype=np.complex128)
+    starts, sizes = real_schur_blocks(T)
+    for s, sz in zip(starts, sizes):
+        if sz == 1:
+            vals[s] = T[s, s]
+        else:
+            a, b = T[s, s], T[s, s + 1]
+            c, d = T[s + 1, s], T[s + 1, s + 1]
+            mu = (a + d) / 2.0
+            disc = ((a - d) / 2.0) ** 2 + b * c
+            # a 2x2 Schur block always has a complex pair (disc < 0)
+            w = np.sqrt(complex(disc))
+            vals[s] = mu + w
+            vals[s + 1] = mu - w
+            if vals[s].imag < 0:
+                vals[s], vals[s + 1] = vals[s + 1], vals[s]
+    return vals
+
+
+def ordered_schur_real(a, *, sort_function=None):
+    """Real Schur decomposition with diagonal *blocks* ordered by
+    ``sort_function``.
+
+    The reference punts on this ("real mode not implemented yet",
+    ``utils.py:64-65``); it is required here because the TPU hot path runs
+    in real arithmetic.  Greedy block reordering via LAPACK ``{s,d}trexc``
+    with block-granular position tracking; a conjugate pair moves as one
+    unit and is ranked by its first (positive-imaginary) eigenvalue.
+
+    Returns ``(T, Z, eigvals)`` where ``eigvals`` is the positional complex
+    eigenvalue array of the final T (see :func:`real_schur_eigvals`).
+    """
+    from scipy.linalg.lapack import dtrexc, strexc
+
+    if sort_function is None:
+        sort_function = arg_largest_magnitude
+
+    a = np.asarray(a)
+    T, Z = schur_real(a)
+    trexc = strexc if T.dtype == np.float32 else dtrexc
+
+    starts, sizes = real_schur_blocks(T)
+    vals = real_schur_eigvals(T)
+    # One representative eigenvalue per block (for pairs, the +imag one:
+    # LM/LR/SM/SR rank conjugate twins identically).
+    reps = np.array([vals[s] for s in starts])
+    block_order = np.asarray(sort_function(reps))
+
+    ids = list(range(len(starts)))     # block ids in current T order
+    cur_sizes = list(sizes)
+    for target_slot, want_id in enumerate(block_order):
+        cur_slot = ids.index(int(want_id))
+        if cur_slot == target_slot:
+            continue
+        cur_starts = np.concatenate([[0], np.cumsum(cur_sizes)[:-1]])
+        ifst = int(cur_starts[cur_slot])
+        ilst = int(cur_starts[target_slot])
+        T, Z, info = trexc(T, Z, ifst + 1, ilst + 1)  # LAPACK 1-based
+        if info != 0:
+            raise RuntimeError(f"trexc failed with info={info}")
+        ids.pop(cur_slot)
+        ids.insert(target_slot, int(want_id))
+        moved = cur_sizes.pop(cur_slot)
+        cur_sizes.insert(target_slot, moved)
+
+    return T, Z, real_schur_eigvals(T)
 
 
 def eig(A):

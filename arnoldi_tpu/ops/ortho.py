@@ -34,6 +34,11 @@ from jax import lax
 #: DGKS re-orthogonalization threshold, eta = sqrt(1/2) (reference ortho.py:6).
 M_SQRT1_2 = math.sqrt(0.5)
 
+#: All projection matmuls run at HIGHEST precision: the TPU MXU defaults to
+#: single-pass bfloat16 for f32 operands, which destroys orthogonality (and
+#: with it the Arnoldi invariant) long before float32 eps.
+_PREC = lax.Precision.HIGHEST
+
 
 def _column_mask(mp1, n_active, dtype):
     return (jnp.arange(mp1) < n_active).astype(dtype)
@@ -71,8 +76,8 @@ def cgs_dgks(V, w, n_active, *, tol=1e-8, eta=M_SQRT1_2):
     def project(w):
         # Tall-skinny projection: one (m+1, n) x (n,) matmul on the MXU,
         # masked to the active columns, then the rank-(m+1) update.
-        c = (V.conj().T @ w) * mask
-        return c, w - V @ c
+        c = jnp.matmul(V.conj().T, w, precision=_PREC) * mask
+        return c, w - jnp.matmul(V, c, precision=_PREC)
 
     beta_before = _norm(w)
     c1, w1 = project(w)
@@ -105,7 +110,11 @@ def mgs_dgks(V, w, n_active, *, tol=1e-8, eta=M_SQRT1_2):
             w, h = carry
             active = i < n_active
             v_i = lax.dynamic_slice_in_dim(V, i, 1, axis=1)[:, 0]
-            c = jnp.where(active, jnp.vdot(v_i, w), jnp.zeros((), V.dtype))
+            c = jnp.where(
+                active,
+                jnp.vdot(v_i, w, precision=_PREC),
+                jnp.zeros((), V.dtype),
+            )
             return w - c * v_i, h.at[i].set(c)
 
         return lax.fori_loop(0, mp1, body, (w, jnp.zeros(mp1, V.dtype)))

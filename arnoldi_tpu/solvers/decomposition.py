@@ -174,7 +174,22 @@ class RitzDecomposition:
         ritz_values = eigvals[ind]
         # Tall matmul on device: (n, m) @ (m, k).
         V_m = jnp.asarray(V)[:, :max_dim]
-        ritz_vectors = V_m @ jnp.asarray(S, dtype=V_m.dtype)
+        if np.iscomplexobj(S) and not jnp.issubdtype(
+            V_m.dtype, jnp.complexfloating
+        ):
+            # Real basis (TPU path, no complex dtypes on device): two real
+            # matmuls recombined on the host.
+            vr = np.asarray(jnp.matmul(V_m, jnp.asarray(S.real, V_m.dtype),
+                                       precision=jax.lax.Precision.HIGHEST))
+            vi = np.asarray(jnp.matmul(V_m, jnp.asarray(S.imag, V_m.dtype),
+                                       precision=jax.lax.Precision.HIGHEST))
+            # stays a host array: the TPU device cannot hold complex values
+            ritz_vectors = vr + 1j * vi
+        else:
+            ritz_vectors = jnp.matmul(
+                V_m, jnp.asarray(S, dtype=V_m.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         approximate_residuals = np.abs(H_host[max_dim, max_dim - 1] * S[-1])
         return cls(ritz_values, ritz_vectors, approximate_residuals)

@@ -45,16 +45,29 @@ def _truncate_basis(V, Qp, *, p, m):
     ``krylov_schur.py:74-81`` — "not a typo") and stale columns zeroed so the
     masked orthogonalization never sees them."""
     n, mp1 = V.shape
-    head = V[:, :m] @ Qp                      # (n, p) tall matmul (MXU)
+    head = jnp.matmul(V[:, :m], Qp, precision=jax.lax.Precision.HIGHEST)
     carry = V[:, m][:, None]                  # residual vector
     tail = jnp.zeros((n, mp1 - p - 1), V.dtype)
     return jnp.concatenate([head, carry, tail], axis=1)
 
 
+def _backend_supports_complex():
+    """The axon/TPU backend has no complex support at all; CPU/GPU do."""
+    try:
+        return jax.default_backend() not in ("tpu",)
+    except Exception:
+        return True
+
+
 def _solver_dtype(op_dtype, dtype):
     if dtype is not None:
         return jax.dtypes.canonicalize_dtype(np.dtype(dtype))
-    ct = np.result_type(np.dtype(op_dtype), np.complex64)
+    op_dtype = np.dtype(op_dtype)
+    if np.issubdtype(op_dtype, np.floating) and not _backend_supports_complex():
+        # Real operator on a complex-free backend: use the real-arithmetic
+        # Krylov-Schur path (real Schur form, 2x2 blocks) — the TPU fast path.
+        return jax.dtypes.canonicalize_dtype(np.result_type(op_dtype, np.float32))
+    ct = np.result_type(op_dtype, np.complex64)
     return jax.dtypes.canonicalize_dtype(ct)
 
 
@@ -147,7 +160,16 @@ def partial_schur(
     m = int(n_iter)
     total_matvecs += m
 
-    schur_vecs = schur_mat = None
+    is_real = np.issubdtype(np.dtype(wdtype), np.floating)
+    # Host dense tier always runs at 64-bit precision regardless of the
+    # device dtype — it is tiny (m x m), and at float32 the Schur rotation
+    # would otherwise compound rounding across restarts.  The truncated
+    # leading block of H is kept in an authoritative high-precision host
+    # copy between restarts (the device only ever *appends* columns).
+    hp = np.float64 if is_real else np.complex128
+    H_trunc_hp = None
+    prev_pa = 0
+    nev_ret = nev
     for restart in range(max_restarts):
         happy_breakdown = m != max_dim
         if happy_breakdown and m < nev:
@@ -156,16 +178,47 @@ def partial_schur(
                 "start vector lives in a too-small invariant subspace"
             )
 
-        H_host = np.asarray(H)
+        H_host = np.asarray(H).astype(hp)
+        if H_trunc_hp is not None:
+            H_host[: prev_pa + 1, :prev_pa] = H_trunc_hp
         H_active = H_host[:m, :m]
 
-        ## Rotation: ordered complex Schur of the projected matrix
-        # (reference does schur() then ordered_schur() on the triangular
-        # factor, krylov_schur.py:69-72; fused into one call here).
-        T2, Q = dense_tier.ordered_schur(H_active, sort_function=sort_function)
+        ## Rotation: ordered Schur of the projected matrix (reference does
+        # schur() then ordered_schur() on the triangular factor,
+        # krylov_schur.py:69-72; fused into one call here).  The real path
+        # — the TPU fast path, since the TPU backend has no complex dtypes —
+        # uses the real Schur form with 2x2 blocks for conjugate pairs
+        # (ARPACK dnaupd-style), so device arrays stay real throughout.
+        if is_real:
+            T2, Q, eigs_pos = dense_tier.ordered_schur_real(
+                H_active, sort_function=sort_function
+            )
+            b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
+            # in_block[i]: positions i-1, i belong to one 2x2 block
+            in_block = np.zeros(m + 1, dtype=bool)
+            for s, sz in zip(b_starts, b_sizes):
+                if sz == 2:
+                    in_block[s + 1] = True
+        else:
+            T2, Q = dense_tier.ordered_schur(
+                H_active, sort_function=sort_function
+            )
+            eigs_pos = np.diag(T2)
+            in_block = np.zeros(m + 1, dtype=bool)
 
-        ## Truncation to the leading p columns (keep fewer on breakdown).
+        ## Truncation to the leading p columns (fewer on breakdown), never
+        # splitting a conjugate-pair block.
         pa = min(p, m) if happy_breakdown else p
+        if in_block[pa]:
+            if pa + 1 < m or (happy_breakdown and pa + 1 <= m):
+                pa += 1
+            elif pa - 1 >= nev:
+                pa -= 1
+            else:
+                raise ValueError(
+                    "Cannot truncate without splitting a conjugate pair; "
+                    "increase max_dim or p"
+                )
         Qp = Q[:, :pa]
 
         V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
@@ -175,13 +228,24 @@ def partial_schur(
         # Coupling row: the old h_{m+1,m} e_m^H rotated by Qp
         # (reference krylov_schur.py:83-88).
         H_new[pa, :pa] = H_host[m, :m] @ Qp
+        H_trunc_hp = H_new[: pa + 1, :pa].copy()
+        prev_pa = pa
 
-        ## Convergence: |h_{m+1,m} * Q[m-1, i]| / |T2[i, i]|
-        # (reference krylov_schur.py:91-99).
-        approximate_residuals = np.abs(H_host[m, m - 1] * Q[m - 1, :])
-        diag = np.abs(np.diag(T2))
-        diag = np.where(diag == 0, 1.0, diag)
-        approximate_convergence = approximate_residuals / diag
+        ## Convergence: |h_{m+1,m} * Q[m-1, i]| / |lambda_i|
+        # (reference krylov_schur.py:91-99).  In the real form a conjugate
+        # pair converges as a unit: its residual is the coupling times the
+        # norm of the block's two last-row rotation entries.
+        coupling = np.abs(H_host[m, m - 1])
+        last_row = np.abs(Q[m - 1, :]).astype(np.float64)
+        if is_real:
+            for s, sz in zip(b_starts, b_sizes):
+                if sz == 2:
+                    pr = np.hypot(Q[m - 1, s], Q[m - 1, s + 1])
+                    last_row[s] = last_row[s + 1] = pr
+        approximate_residuals = coupling * last_row
+        denom = np.abs(eigs_pos)
+        denom = np.where(denom == 0, 1.0, denom)
+        approximate_convergence = approximate_residuals / denom
 
         for k in range(nev):
             if approximate_convergence[k] <= tol:
@@ -200,10 +264,12 @@ def partial_schur(
             history.matvecs[:] = np.maximum(history.matvecs, total_matvecs)
             history.restarts[:] = np.maximum(history.restarts, restart + 1)
         if has_converged:
-            H = jnp.asarray(H_new)
+            # A 2x2 block straddling the nev boundary cannot be cut: return
+            # nev+1 pairs (ARPACK's k/k+1 contract for real problems).
+            nev_ret = nev + 1 if in_block[nev] else nev
             break
 
-        H = jnp.asarray(H_new)
+        H = jnp.asarray(H_new.astype(wdtype))
         V, H, n_iter = arnoldi_expand(
             op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
         )
@@ -214,8 +280,8 @@ def partial_schur(
     if not has_converged:
         raise ValueError("Has not converged !")
 
-    schur_vecs = V[:, :nev]
-    schur_mat = jnp.asarray(np.asarray(H)[:nev, :nev])
+    schur_vecs = V[:, :nev_ret]
+    schur_mat = jnp.asarray(H_new[:nev_ret, :nev_ret].astype(wdtype))
 
     # Note: same ordering contract as the reference — Schur form ordered by
     # sort_function, use eigenpairs_from_partial_schur for eigen post-processing.
@@ -232,8 +298,21 @@ def eigenpairs_from_partial_schur(schur_vecs, schur_mat):
     Returns ``(values, vectors)`` with unit-norm columns.
     """
     T = np.asarray(schur_mat)
-    values, S = dense_tier.eig_from_schur(T) if _is_triangular(T) else dense_tier.eig(T)
+    if np.iscomplexobj(T) and _is_triangular(T):
+        values, S = dense_tier.eig_from_schur(T)
+    else:
+        # Real quasi-triangular T (real Krylov-Schur path) or a general
+        # small matrix: plain dense eig.
+        values, S = dense_tier.eig(T)
     Q = jnp.asarray(schur_vecs)
+    if np.iscomplexobj(S) and not jnp.issubdtype(Q.dtype, jnp.complexfloating):
+        # Real basis, complex eigenvectors of T: two real device matmuls
+        # (the TPU backend has no complex dtype), recombined on the host.
+        vr = np.asarray(Q @ jnp.asarray(S.real, dtype=Q.dtype))
+        vi = np.asarray(Q @ jnp.asarray(S.imag, dtype=Q.dtype))
+        vectors = vr + 1j * vi
+        norms = np.linalg.norm(vectors, axis=0)
+        return values, vectors / np.where(norms == 0, 1.0, norms)[None, :]
     vectors = Q @ jnp.asarray(S, dtype=Q.dtype)
     norms = jnp.linalg.norm(vectors, axis=0)
     vectors = vectors / jnp.where(norms == 0, 1.0, norms)[None, :]
