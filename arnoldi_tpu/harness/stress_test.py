@@ -1,0 +1,120 @@
+"""Stress-test sweep CLI (reference ``scripts/stress-test.py``).
+
+Runs a parameter grid over {krylov-schur (ours), ARPACK, deflated explicit
+restarts} and writes a CSV with the reference's schema
+(``stress-test.py:65-67``):
+
+    method,dtype,nev,ncv,tol,max_restarts,p,which,elapsed,matvecs,restarts,match
+
+Usage::
+
+    python -m arnoldi_tpu.harness.stress_test mark:100 -o stress.csv
+    python -m arnoldi_tpu.harness.stress_test path.mat --quick
+"""
+
+import argparse
+import csv
+import sys
+
+import numpy as np
+
+from .suite import (
+    EigensolverParameters,
+    arnoldi_tpu_eig,
+    arpack_eig,
+    deflation_eig,
+    find_best_matching,
+    matrix_from_spec,
+)
+
+#: The reference's 18-config grid (``stress-test.py:29-41``): nev 3..75,
+#: ncv 20..100, tol 1e-8, both LM and LR.
+PARAMETERS = [
+    EigensolverParameters(nev=nev, ncv=ncv, tol=1e-8, max_restarts=100_000,
+                          p=None, which=which)
+    for which in ("LM", "LR")
+    for (nev, ncv) in [
+        (3, 20), (5, 20), (5, 40), (10, 40), (10, 60), (25, 60),
+        (25, 100), (50, 100), (75, 100),
+    ]
+]
+
+QUICK_PARAMETERS = [
+    EigensolverParameters(nev=nev, ncv=ncv, tol=1e-8, max_restarts=10_000,
+                          p=None, which=which)
+    for which in ("LM", "LR")
+    for (nev, ncv) in [(3, 20), (5, 40)]
+]
+
+
+def run_one(method, A, params, key):
+    import jax
+
+    if method == "arpack":
+        return arpack_eig(A, params)
+    if method == "krylov-schur":
+        return arnoldi_tpu_eig(A, params, key=jax.random.key(key))
+    if method == "deflation":
+        return deflation_eig(A, params, key=jax.random.key(key))
+    raise ValueError(method)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("matrix")
+    ap.add_argument("-o", "--output", default="stress-test.csv")
+    ap.add_argument("--quick", action="store_true",
+                    help="4-config grid for smoke testing")
+    ap.add_argument("--methods", default="krylov-schur,arpack",
+                    help="comma list of krylov-schur,arpack,deflation")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    A = matrix_from_spec(args.matrix)
+    n = A.shape[0]
+    grid = QUICK_PARAMETERS if args.quick else PARAMETERS
+    methods = args.methods.split(",")
+
+    rows = []
+    for params in grid:
+        if params.ncv >= n or params.nev >= n // 2:
+            continue
+        ref_vals = None
+        for method in methods:
+            try:
+                vals, vecs, stats = run_one(method, A, params, args.seed)
+                if ref_vals is None:
+                    ref_vals = np.asarray(vals)
+                    match = True
+                else:
+                    a, b = find_best_matching(np.asarray(vals), ref_vals)
+                    match = bool(np.allclose(a, b, rtol=1e-4, atol=1e-8))
+                rows.append([
+                    method, stats.dtype, params.nev, params.ncv, params.tol,
+                    params.max_restarts, params.p, params.which,
+                    round(stats.elapsed, 4), stats.matvecs, stats.restarts,
+                    match,
+                ])
+                print(f"{method:14s} nev={params.nev:3d} ncv={params.ncv:4d} "
+                      f"{params.which}: {stats.elapsed:8.3f}s "
+                      f"{stats.matvecs:7d} mv match={match}", file=sys.stderr)
+            except Exception as e:  # record failures, keep sweeping
+                rows.append([
+                    method, "-", params.nev, params.ncv, params.tol,
+                    params.max_restarts, params.p, params.which,
+                    -1, -1, -1, f"error: {type(e).__name__}",
+                ])
+                print(f"{method:14s} nev={params.nev:3d} ncv={params.ncv:4d} "
+                      f"{params.which}: FAILED {e}", file=sys.stderr)
+
+    with open(args.output, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["method", "dtype", "nev", "ncv", "tol", "max_restarts",
+                    "p", "which", "elapsed", "matvecs", "restarts", "match"])
+        w.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

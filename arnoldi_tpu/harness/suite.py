@@ -1,0 +1,203 @@
+"""Benchmark/comparison harness library.
+
+Parity with the reference's ``scripts/utils.py`` (SURVEY #9): uniform
+parameters, wall-time + matvec statistics, ARPACK driver with matvec
+counting, Hungarian eigenvalue matching, residual printing — plus this
+framework's own driver.  SLEPc comparison (reference ``scripts/utils.py:
+190-381``) is provided in :mod:`arnoldi_tpu.harness.slepc` and activates
+when petsc4py/slepc4py are installed.
+"""
+
+import dataclasses
+import time
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.linalg import LinearOperator, eigs
+
+from ..utils.sorting import sort_function_for
+
+
+@dataclasses.dataclass
+class EigensolverParameters:
+    """Uniform solver configuration (reference ``scripts/utils.py:37-52``)."""
+
+    nev: int
+    ncv: int | None = None  # max Krylov dimension (ARPACK's ncv)
+    tol: float = 1e-8
+    max_restarts: int = 1000
+    p: int | None = None
+    which: str = "LM"
+
+    @classmethod
+    def from_cli_args(cls, args):
+        return cls(
+            nev=args.nev, ncv=args.max_dim, tol=args.tol,
+            max_restarts=args.max_it, p=args.p, which=args.which,
+        )
+
+
+@dataclasses.dataclass
+class Statistics:
+    """Per-run measurement record (reference ``scripts/utils.py:29-35``)."""
+
+    elapsed: float
+    dtype: str
+    matvecs: int
+    restarts: int
+
+
+class MatvecCounter(LinearOperator):
+    """SciPy LinearOperator wrapper counting matvecs
+    (reference ``scripts/utils.py:55-68``)."""
+
+    def __init__(self, A):
+        self.A = A
+        self.n_matvecs = 0
+        super().__init__(dtype=A.dtype, shape=A.shape)
+
+    def _matvec(self, x):
+        self.n_matvecs += 1
+        return self.A @ x
+
+
+def find_best_matching(a, b):
+    """Hungarian matching of two eigenvalue sets
+    (reference ``scripts/utils.py:85-99``)."""
+    from scipy.optimize import linear_sum_assignment
+
+    a = np.asarray(a)
+    b = np.asarray(b)
+    k = min(a.shape[0], b.shape[0])
+    cost = np.abs(a[:, None] - b[None, :])
+    row_ind, col_ind = linear_sum_assignment(cost)
+    return a[row_ind[:k]], b[col_ind[:k]]
+
+
+def print_residuals(name, A, vals, vecs, file=None):
+    """Normalized residual report (reference ``scripts/utils.py:125-133``)."""
+    vecs = np.asarray(vecs)
+    res = np.linalg.norm(A @ vecs - vals * vecs, axis=0) / np.abs(vals)
+    print(f"{name}: normalized residuals {res}", file=file)
+    return res
+
+
+def arpack_eig(A, params: EigensolverParameters):
+    """ARPACK oracle with matvec counting
+    (reference ``scripts/utils.py:136-158``)."""
+    counter = MatvecCounter(A)
+    ncv = params.ncv
+    t0 = time.perf_counter()
+    vals, vecs = eigs(
+        counter, params.nev, which=params.which, tol=params.tol,
+        ncv=ncv, maxiter=params.max_restarts,
+    )
+    elapsed = time.perf_counter() - t0
+    nev, ncv_eff = params.nev, ncv or min(A.shape[0], max(2 * params.nev + 1, 20))
+    iters = max((counter.n_matvecs - ncv_eff) // max(ncv_eff - nev, 1), 1)
+    stats = Statistics(elapsed, str(A.dtype), counter.n_matvecs, iters)
+    return vals, vecs, stats
+
+
+def arnoldi_tpu_eig(A, params: EigensolverParameters, *, dtype=None,
+                    ortho=None, key=None):
+    """This framework's driver (reference ``scripts/utils.py:161-187``
+    analogue): partial_schur + eigen post-processing + statistics."""
+    import jax
+
+    from ..solvers.krylov_schur import (
+        eigenpairs_from_partial_schur,
+        partial_schur,
+    )
+
+    sort_function = sort_function_for(params.which)
+    kwargs = dict(
+        max_dim=params.ncv, stopping_criterion=params.tol,
+        sort_function=sort_function, max_restarts=params.max_restarts,
+        p=params.p,
+    )
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    if ortho is not None:
+        kwargs["ortho"] = ortho
+    if key is not None:
+        kwargs["key"] = key
+
+    t0 = time.perf_counter()
+    Q, T, history = partial_schur(A, params.nev, **kwargs)
+    jax.block_until_ready(Q)
+    elapsed = time.perf_counter() - t0
+
+    vals, vecs = eigenpairs_from_partial_schur(Q, T)
+    stats = Statistics(
+        elapsed, str(np.asarray(Q).dtype), history.total_matvecs,
+        int(history.restarts.max()),
+    )
+    return vals, vecs, stats
+
+
+def deflation_eig(A, params: EigensolverParameters, *, key=None):
+    """Explicit-restart-with-deflation driver under the same interface."""
+    import jax
+
+    from ..solvers.explicit_restarts import explicit_restarts_with_deflation
+
+    sort_function = sort_function_for(params.which)
+    t0 = time.perf_counter()
+    vals, vecs, history = explicit_restarts_with_deflation(
+        A, params.nev, max_dim=params.ncv, stopping_criterion=params.tol,
+        sort_function=sort_function, max_restarts=params.max_restarts,
+        key=key,
+    )
+    jax.block_until_ready(vecs)
+    elapsed = time.perf_counter() - t0
+    stats = Statistics(
+        elapsed, str(np.asarray(vecs).dtype), history.total_matvecs,
+        int(history.restarts.max()),
+    )
+    return vals, np.asarray(vecs), stats
+
+
+def matrix_from_spec(spec, dtype=np.float64):
+    """Resolve a matrix specification: a path to a SuiteSparse ``.mat`` /
+    MatrixMarket ``.mtx`` file, or a generator spec like ``mark:100``,
+    ``laplace:512``, ``laplace2d:64``, ``grcar:200``, ``clement:200``."""
+    from .. import matrices as M
+
+    if ":" in str(spec):
+        name, _, arg = str(spec).partition(":")
+        size = int(arg)
+        if name == "mark":
+            return M.mark(size, dtype=dtype)
+        if name == "laplace":
+            return sp.csr_matrix(M.laplace(size, dtype=dtype))
+        if name == "laplace2d":
+            return M.laplace_2d(size, dtype=dtype).astype(dtype)
+        if name == "grcar":
+            return grcar_matrix(size, dtype=dtype)
+        if name == "clement":
+            return clement_matrix(size, dtype=dtype)
+        raise ValueError(f"Unknown matrix generator {name!r}")
+    s = str(spec)
+    if s.endswith(".mat"):
+        return M.load_suitesparse_mat(s, dtype=dtype)
+    if s.endswith((".mtx", ".mtx.gz")):
+        return M.load_matrix_market(s, dtype=dtype)
+    raise ValueError(f"Cannot interpret matrix spec {spec!r}")
+
+
+def grcar_matrix(n, dtype=np.float64):
+    """Grcar test matrix (reference ``scripts/compare-against-arpack.py:27``):
+    -1 on the subdiagonal, 1 on the main and three superdiagonals."""
+    diags = [-np.ones(n - 1, dtype=dtype)] + [
+        np.ones(n - k, dtype=dtype) for k in range(0, 4)
+    ]
+    return sp.diags_array(diags, offsets=[-1, 0, 1, 2, 3]).tocsr()
+
+
+def clement_matrix(n, dtype=np.float64):
+    """Clement tridiagonal matrix with eigenvalues ±(n-1), ±(n-3), ...
+    (reference ``scripts/compare-against-arpack.py:36``)."""
+    k = np.arange(1, n, dtype=dtype)
+    sub = np.sqrt(k * (n - k))
+    return sp.diags_array([sub, sub], offsets=[-1, 1]).tocsr()

@@ -254,6 +254,34 @@ class CallableOperator:
 LinearOperator = (DenseOperator, EllOperator, BandedOperator, CallableOperator)
 
 
+def pad_operator(op, n_pad):
+    """Zero-pad an operator to ``n_pad`` rows/columns.
+
+    The padded operator acts as ``diag(A, 0)``: padding rows and columns are
+    exactly zero, so a Krylov process started from a vector with zero padding
+    keeps the padding identically zero and produces the same H as the
+    unpadded problem.  Used to meet the mesh divisibility requirement
+    (shard sizes must tile the row dimension exactly).
+    """
+    n = op.shape[0]
+    if n_pad == n:
+        return op
+    assert n_pad > n
+    extra = n_pad - n
+    if isinstance(op, EllOperator):
+        data = jnp.vstack([op.data, jnp.zeros((extra, op.data.shape[1]), op.data.dtype)])
+        cols = jnp.vstack([op.cols, jnp.zeros((extra, op.cols.shape[1]), op.cols.dtype)])
+        return EllOperator(data, cols, op.nnz_stored)
+    if isinstance(op, DenseOperator):
+        A = op.A
+        A = jnp.pad(A, ((0, extra), (0, extra)))
+        return DenseOperator(A)
+    if isinstance(op, BandedOperator):
+        bands = jnp.pad(op.bands, ((0, 0), (0, extra)))
+        return BandedOperator(bands, op.offsets, op.nnz_stored)
+    raise TypeError(f"Cannot pad operator of type {type(op)}")
+
+
 def as_operator(A, dtype=None, format=None):
     """Coerce ``A`` to a device operator.
 

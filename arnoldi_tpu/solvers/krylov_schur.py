@@ -84,6 +84,7 @@ def partial_schur(
     dtype=None,
     key=None,
     v0=None,
+    mesh=None,
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -110,6 +111,9 @@ def partial_schur(
     key : ``jax.random`` key for the start vector (deterministic); default
         key 0.
     v0 : explicit start vector overriding ``key``.
+    mesh : optional ``jax.sharding.Mesh`` — row-partition the operator and
+        the Krylov basis across it (see ``arnoldi_tpu.parallel``); the
+        m-sized dense tier stays replicated.
 
     Returns
     -------
@@ -138,8 +142,28 @@ def partial_schur(
 
     wdtype = _solver_dtype(op.dtype, dtype)
 
-    V = jnp.zeros((n, max_dim + 1), dtype=wdtype)
+    # Mesh execution pads the row dimension so every shard is the same size
+    # (padding rows/columns are exactly zero and never enter the Krylov
+    # space; Q is sliced back to n rows on return).
+    n_solve = n
+    repl = None
+    if mesh is not None:
+        from ..linop import pad_operator
+        from ..parallel.mesh import replicated_sharding
+
+        n_dev = int(mesh.devices.size)
+        n_solve = -(-n // n_dev) * n_dev
+        op = pad_operator(op, n_solve)
+        repl = replicated_sharding(mesh)
+
+    V = jnp.zeros((n_solve, max_dim + 1), dtype=wdtype)
     H = jnp.zeros((max_dim + 1, max_dim), dtype=wdtype)
+
+    if mesh is not None:
+        from ..parallel.sharded import shard_operator, shard_workspace
+
+        op = shard_operator(op, mesh)
+        V, H = shard_workspace(V, H, mesh)
 
     if v0 is None:
         if key is None:
@@ -148,6 +172,8 @@ def partial_schur(
     else:
         v0 = jnp.asarray(v0, dtype=wdtype)
         v0 = v0 / jnp.linalg.norm(v0)
+    if n_solve != n:
+        v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
     V = V.at[:, 0].set(v0)
 
     history = History.from_k(nev)
@@ -270,6 +296,8 @@ def partial_schur(
             break
 
         H = jnp.asarray(H_new.astype(wdtype))
+        if repl is not None:
+            H = jax.device_put(H, repl)
         V, H, n_iter = arnoldi_expand(
             op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
         )
@@ -277,10 +305,12 @@ def partial_schur(
         total_matvecs += m_new - pa
         m = m_new
 
+    history.total = total_matvecs
+
     if not has_converged:
         raise ValueError("Has not converged !")
 
-    schur_vecs = V[:, :nev_ret]
+    schur_vecs = V[:n, :nev_ret]
     schur_mat = jnp.asarray(H_new[:nev_ret, :nev_ret].astype(wdtype))
 
     # Note: same ordering contract as the reference — Schur form ordered by

@@ -18,6 +18,10 @@ class History:
     restarts: np.ndarray
     #: optional per-restart max relative residual over the wanted window
     residual_trace: list = dataclasses.field(default_factory=list)
+    #: solver-wide matvec count, set by drivers whose per-eigenvalue entries
+    #: are cumulative snapshots (Krylov-Schur) rather than disjoint budgets
+    #: (deflated explicit restarts); when unset, the disjoint sum is used.
+    total: int | None = None
 
     @classmethod
     def from_k(cls, k):
@@ -29,4 +33,6 @@ class History:
 
     @property
     def total_matvecs(self):
+        if self.total is not None:
+            return int(self.total)
         return int(self.matvecs.sum())

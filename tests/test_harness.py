@@ -1,0 +1,103 @@
+"""Harness-layer tests: CLI drivers, statistics, matrix specs, CSV schema."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from arnoldi_tpu.harness import (
+    EigensolverParameters,
+    arnoldi_tpu_eig,
+    arpack_eig,
+    find_best_matching,
+    matrix_from_spec,
+)
+from arnoldi_tpu.harness.suite import clement_matrix, deflation_eig, grcar_matrix
+
+
+def test_matrix_specs():
+    assert matrix_from_spec("mark:10").shape == (55, 55)
+    assert matrix_from_spec("laplace:32").shape == (32, 32)
+    assert matrix_from_spec("laplace2d:6").shape == (36, 36)
+    assert matrix_from_spec("grcar:20").shape == (20, 20)
+    assert matrix_from_spec("clement:20").shape == (20, 20)
+    with pytest.raises(ValueError):
+        matrix_from_spec("nosuch:5")
+
+
+def test_clement_spectrum():
+    # Clement matrix has eigenvalues ±(n-1), ±(n-3), ...
+    n = 10
+    A = clement_matrix(n)
+    vals = np.sort(np.linalg.eigvals(A.todense()).real)
+    want = np.sort(np.concatenate([np.arange(-n + 1, 0, 2),
+                                   np.arange(1, n, 2)]))
+    np.testing.assert_allclose(vals, want, atol=1e-8)
+
+
+def test_drivers_agree():
+    import jax
+
+    A = matrix_from_spec("mark:10")
+    params = EigensolverParameters(nev=3, ncv=12, tol=1e-9,
+                                   max_restarts=5000, which="LR")
+    r_vals, _, r_stats = arpack_eig(A, params)
+    vals, vecs, stats = arnoldi_tpu_eig(A, params, key=jax.random.key(0))
+    d_vals, d_vecs, d_stats = deflation_eig(A, params, key=jax.random.key(0))
+
+    a, b = find_best_matching(np.asarray(vals), r_vals)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    a, b = find_best_matching(np.asarray(d_vals), r_vals)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+    assert stats.matvecs > 0 and stats.elapsed > 0
+    # Krylov-Schur matvec counting must be solver-wide, not summed per-k
+    assert stats.matvecs < 3 * r_stats.matvecs
+
+
+def test_compare_arpack_cli(capsys):
+    from arnoldi_tpu.harness import compare_arpack
+
+    rc = compare_arpack.main(["mark:20", "--nev", "3", "--which", "LR",
+                              "--tol", "1e-8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "eigenvalues MATCH" in out
+    assert "matvecs than ARPACK" in out
+
+
+def test_stress_test_cli(tmp_path):
+    from arnoldi_tpu.harness import stress_test
+
+    out = tmp_path / "stress.csv"
+    rc = stress_test.main(["mark:12", "-o", str(out), "--quick"])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.reader(f))
+    header = rows[0]
+    assert header == ["method", "dtype", "nev", "ncv", "tol", "max_restarts",
+                      "p", "which", "elapsed", "matvecs", "restarts", "match"]
+    assert len(rows) > 4
+
+
+def test_bench_partial_schur_cli(capsys):
+    from arnoldi_tpu.harness import bench_partial_schur
+
+    rc = bench_partial_schur.main(["mark:15", "--nev", "3", "--tol", "1e-8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ms/matvec" in out
+
+
+def test_slepc_gracefully_unavailable():
+    try:
+        import slepc4py  # noqa: F401
+
+        pytest.skip("slepc4py actually installed")
+    except ImportError:
+        pass
+    from arnoldi_tpu.harness import slepc
+
+    with pytest.raises(ImportError, match="petsc4py/slepc4py"):
+        slepc.slepc_eig(matrix_from_spec("mark:10"),
+                        EigensolverParameters(nev=2))

@@ -1,0 +1,102 @@
+"""Sharded-execution tests on the 8-virtual-device CPU mesh (SURVEY §4's
+prescription for testing distribution without a cluster): results must match
+the single-device solve, and the big arrays must actually be partitioned."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arnoldi_tpu import as_operator, partial_schur
+from arnoldi_tpu.matrices import laplace, mark
+from arnoldi_tpu.parallel import (
+    make_mesh,
+    shard_operator,
+    shard_workspace,
+    sharded_partial_schur,
+)
+from arnoldi_tpu.utils.sorting import arg_largest_real
+
+norm = np.linalg.norm
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_shard_operator_partitions_rows(mesh):
+    from arnoldi_tpu.linop import pad_operator
+
+    op = as_operator(mark(50))  # n = 1275, padded to 1280 for 8 shards
+    padded = pad_operator(op, 1280)
+    sop = shard_operator(padded, mesh)
+    shards = sop.data.sharding
+    assert len(shards.device_set) == 8
+    x = jnp.ones(1280)
+    got = np.asarray(sop.matvec(x))
+    np.testing.assert_allclose(got[:1275], np.asarray(op.matvec(x[:1275])),
+                               atol=1e-12)
+    np.testing.assert_allclose(got[1275:], 0, atol=0)
+
+
+def test_sharded_matvec_banded(mesh):
+    op = as_operator(laplace(512))
+    sop = shard_operator(op, mesh)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(512))
+    np.testing.assert_allclose(
+        np.asarray(sop.matvec(x)), np.asarray(op.matvec(x)), atol=1e-12
+    )
+
+
+def test_shard_workspace(mesh):
+    V = jnp.zeros((1280, 21))
+    H = jnp.zeros((21, 20))
+    Vs, Hs = shard_workspace(V, H, mesh)
+    assert len(Vs.sharding.device_set) == 8
+    # H replicated
+    assert Hs.sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("dtype", [np.complex128, np.float64])
+def test_sharded_partial_schur_matches_single(dtype, mesh):
+    A = mark(30)  # n = 465
+    kwargs = dict(
+        stopping_criterion=1e-9,
+        sort_function=arg_largest_real,
+        max_restarts=2000,
+        dtype=dtype,
+        key=jax.random.key(7),
+    )
+    Q1, T1, h1 = partial_schur(A, 3, **kwargs)
+    Q2, T2, h2 = sharded_partial_schur(A, 3, mesh=mesh, **kwargs)
+
+    # Same subspace and same Schur matrix up to tolerance: compare the
+    # residuals and eigenvalues (floating reduction order may differ).
+    for Q, T in [(Q1, T1), (Q2, T2)]:
+        Qh, Th = np.asarray(Q), np.asarray(T)
+        res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-8)
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T1)))
+    v2 = np.sort_complex(np.linalg.eigvals(np.asarray(T2)))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+
+    # The returned basis must be sharded over the mesh.
+    assert len(Q2.sharding.device_set) == 8
+
+
+def test_sharded_float32_real_path(mesh):
+    A = mark(20).astype(np.float32)
+    Q, T, _ = sharded_partial_schur(
+        A, 2, mesh=mesh, stopping_criterion=3e-4,
+        sort_function=arg_largest_real, max_restarts=1000,
+        dtype=np.float32, ortho="cgs2", key=jax.random.key(1),
+    )
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=2e-3)
