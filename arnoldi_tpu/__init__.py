@@ -9,6 +9,7 @@ and parallel utilities that the TPU-native design adds.
 
 from ._version import __version__
 from .solvers.krylov_schur import partial_schur
+from .solvers.lanczos import partial_eigh
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
     History,
@@ -26,6 +27,7 @@ from .linop import (
 __all__ = [
     "__version__",
     "partial_schur",
+    "partial_eigh",
     "arnoldi_decomposition",
     "RitzDecomposition",
     "History",

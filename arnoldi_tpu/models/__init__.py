@@ -11,6 +11,7 @@ from ..solvers import (  # noqa: F401
     arnoldi_expand,
     explicit_restarts_with_deflation,
     naive_explicit_restarts,
+    partial_eigh,
     partial_schur,
 )
 from ..solvers.krylov_schur import eigenpairs_from_partial_schur  # noqa: F401

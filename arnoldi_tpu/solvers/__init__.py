@@ -1,5 +1,6 @@
 from .decomposition import RitzDecomposition, arnoldi_decomposition, arnoldi_expand
 from .krylov_schur import partial_schur
+from .lanczos import partial_eigh
 from .explicit_restarts import (
     History,
     explicit_restarts_with_deflation,
@@ -11,6 +12,7 @@ __all__ = [
     "arnoldi_expand",
     "RitzDecomposition",
     "partial_schur",
+    "partial_eigh",
     "History",
     "naive_explicit_restarts",
     "explicit_restarts_with_deflation",
