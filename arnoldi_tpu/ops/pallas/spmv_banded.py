@@ -1,0 +1,75 @@
+"""Pallas banded (DIA) SpMV kernel.
+
+``y[i] = sum_d bands[d][i] * x[i + offsets[d]]`` — the stencil matvec for
+the Laplace operator family.  The XLA fallback in
+:class:`arnoldi_tpu.linop.BandedOperator` materializes one shifted copy of
+``x`` per diagonal (k pad+concat temporaries, ~3k vector round-trips to
+HBM); this kernel keeps the haloed ``x`` resident in VMEM, streams each
+band tile through once, and accumulates in registers: bytes moved
+~= bands + x + y, the bandwidth lower bound.
+
+Current limit: ``x`` must fit in VMEM (~16 MB => n up to ~4M float32);
+beyond that the operator falls back to the XLA path.  A double-buffered
+windowed variant is the follow-up for larger n.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret", "block_rows"))
+def banded_matvec_pallas(bands, x, offsets, *, interpret=False,
+                         block_rows=8192):
+    """Banded matvec. ``bands``: (k, n) aligned as in
+    :class:`arnoldi_tpu.linop.BandedOperator` (``bands[d][i]`` multiplies
+    ``x[i + offsets[d]]``); ``offsets``: static tuple; ``x``: (n,).
+    """
+    k, n = bands.shape
+    assert x.shape == (n,)
+    out_dtype = jnp.result_type(bands.dtype, x.dtype)
+
+    halo = int(max((abs(int(o)) for o in offsets), default=0))
+    halo_pad = _ceil_to(max(halo, 1), 128)
+    block = block_rows
+    n_pad = _ceil_to(n, block)
+
+    # x staged as (1, n_pad + 2*halo_pad) with zero halos; bands (k, n_pad).
+    xp = jnp.zeros((1, n_pad + 2 * halo_pad), dtype=out_dtype)
+    xp = jax.lax.dynamic_update_slice(
+        xp, x.astype(out_dtype)[None, :], (0, halo_pad))
+    bp = jnp.zeros((k, n_pad), dtype=out_dtype)
+    bp = jax.lax.dynamic_update_slice(bp, bands.astype(out_dtype), (0, 0))
+
+    grid = (n_pad // block,)
+
+    def kernel(b_ref, x_ref, o_ref):
+        i = pl.program_id(0)
+        base = pl.multiple_of(i * block, block) + halo_pad
+        acc = jnp.zeros((1, block), dtype=out_dtype)
+        for d, off in enumerate(offsets):
+            seg = x_ref[:, pl.ds(base + off, block)]
+            acc = acc + b_ref[d, :].reshape(1, block) * seg
+        o_ref[:, :] = acc
+
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full haloed x
+        ],
+        out_specs=pl.BlockSpec((1, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(bp, xp)
+    return y[0, :n]

@@ -127,6 +127,10 @@ def explicit_restarts_with_deflation(
         else float(stopping_criterion)
     if sort_function is None:
         sort_function = arg_largest_magnitude
+    elif isinstance(sort_function, str):
+        from ..utils.sorting import sort_function_for
+
+        sort_function = sort_function_for(sort_function)
     assert max_restarts > 0
 
     if max_dim is None:

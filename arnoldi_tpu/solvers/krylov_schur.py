@@ -51,6 +51,21 @@ def _truncate_basis(V, Qp, *, p, m):
     return jnp.concatenate([head, carry, tail], axis=1)
 
 
+@partial(jax.jit, static_argnames=("p", "m", "max_dim", "ortho"))
+def _truncate_and_expand(op, V, Qp, H_new, invariant_tol, *, p, m, max_dim,
+                         ortho):
+    """Fused restart step: truncation tall-matmul + the next Arnoldi
+    expansion in ONE device dispatch.  Host-device round-trips cost
+    milliseconds (or ~100 ms through a remote-TPU tunnel), so the restart
+    loop performs exactly one upload (Qp, H_new) + one dispatch + one small
+    download (H) per restart."""
+    from .decomposition import _expand_jit
+
+    V = _truncate_basis(V, Qp, p=p, m=m)
+    return _expand_jit(op, V, H_new, invariant_tol, start_dim=p,
+                       max_dim=max_dim, ortho=ortho)
+
+
 def _backend_supports_complex():
     """The axon/TPU backend has no complex support at all; CPU/GPU do."""
     try:
@@ -85,6 +100,9 @@ def partial_schur(
     key=None,
     v0=None,
     mesh=None,
+    checkpoint_path=None,
+    checkpoint_every=1,
+    resume=False,
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -114,6 +132,11 @@ def partial_schur(
     mesh : optional ``jax.sharding.Mesh`` — row-partition the operator and
         the Krylov basis across it (see ``arnoldi_tpu.parallel``); the
         m-sized dense tier stays replicated.
+    checkpoint_path : optional path — persist the restart-boundary solver
+        state (basis + projected matrix + convergence history) every
+        ``checkpoint_every`` restarts.
+    resume : if True and ``checkpoint_path`` exists, continue from it
+        (the solver state is exactly ``(V, H, p)`` — SURVEY §5).
 
     Returns
     -------
@@ -131,6 +154,10 @@ def partial_schur(
         tol = float(stopping_criterion)
     if sort_function is None:
         sort_function = arg_largest_magnitude
+    elif isinstance(sort_function, str):
+        from ..utils.sorting import sort_function_for
+
+        sort_function = sort_function_for(sort_function)
     assert max_restarts > 0
 
     if max_dim is None:
@@ -180,12 +207,6 @@ def partial_schur(
     has_converged = False
     total_matvecs = 0
 
-    V, H, n_iter = arnoldi_expand(
-        op, V, H, tol, start_dim=0, max_dim=max_dim, ortho=ortho
-    )
-    m = int(n_iter)
-    total_matvecs += m
-
     is_real = np.issubdtype(np.dtype(wdtype), np.floating)
     # Host dense tier always runs at 64-bit precision regardless of the
     # device dtype — it is tiny (m x m), and at float32 the Schur rotation
@@ -195,8 +216,42 @@ def partial_schur(
     hp = np.float64 if is_real else np.complex128
     H_trunc_hp = None
     prev_pa = 0
+    restart0 = 0
+
+    import os as _os
+
+    if resume and checkpoint_path and _os.path.exists(checkpoint_path):
+        from ..utils.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(checkpoint_path)
+        assert ck.V.shape == (n_solve, max_dim + 1), (
+            f"checkpoint shape {ck.V.shape} does not match workspace "
+            f"{(n_solve, max_dim + 1)}")
+        V = jnp.asarray(ck.V.astype(wdtype))
+        H = jnp.asarray(ck.H_hp.astype(wdtype))
+        if mesh is not None:
+            from ..parallel.sharded import shard_workspace
+
+            V, H = shard_workspace(V, H, mesh)
+        H_trunc_hp = ck.H_hp[: ck.pa + 1, : ck.pa].copy()
+        prev_pa = ck.pa
+        history.matvecs[:] = ck.matvecs
+        history.restarts[:] = ck.restarts
+        history.residual_trace = list(ck.residual_trace)
+        total_matvecs = ck.total_matvecs
+        restart0 = ck.restart
+        start_dim0 = ck.pa
+    else:
+        start_dim0 = 0
+
+    V, H, n_iter = arnoldi_expand(
+        op, V, H, tol, start_dim=start_dim0, max_dim=max_dim, ortho=ortho
+    )
+    m = int(n_iter)
+    total_matvecs += m - start_dim0
+
     nev_ret = nev
-    for restart in range(max_restarts):
+    for restart in range(restart0, max_restarts):
         happy_breakdown = m != max_dim
         if happy_breakdown and m < nev:
             raise ValueError(
@@ -247,8 +302,6 @@ def partial_schur(
                 )
         Qp = Q[:, :pa]
 
-        V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
-
         H_new = np.zeros_like(H_host)
         H_new[:pa, :pa] = T2[:pa, :pa]
         # Coupling row: the old h_{m+1,m} e_m^H rotated by Qp
@@ -293,14 +346,42 @@ def partial_schur(
             # A 2x2 block straddling the nev boundary cannot be cut: return
             # nev+1 pairs (ARPACK's k/k+1 contract for real problems).
             nev_ret = nev + 1 if in_block[nev] else nev
+            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
             break
 
         H = jnp.asarray(H_new.astype(wdtype))
         if repl is not None:
             H = jax.device_put(H, repl)
-        V, H, n_iter = arnoldi_expand(
-            op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
-        )
+        if checkpoint_path:
+            # Two-dispatch path so the restart-boundary (truncated) state is
+            # materializable for the checkpoint.
+            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
+            if (restart + 1) % max(checkpoint_every, 1) == 0:
+                from ..utils.checkpoint import (
+                    RestartCheckpoint,
+                    save_checkpoint,
+                )
+
+                save_checkpoint(checkpoint_path, RestartCheckpoint(
+                    V=np.asarray(V), H_hp=H_new, pa=pa, restart=restart + 1,
+                    total_matvecs=total_matvecs,
+                    matvecs=history.matvecs.copy(),
+                    restarts=history.restarts.copy(),
+                    residual_trace=list(history.residual_trace),
+                ))
+            V, H, n_iter = arnoldi_expand(
+                op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
+            )
+        else:
+            # Fused single-dispatch restart step.
+            from ..ops.ortho import resolve_ortho as _r  # noqa: F401
+            V, H, n_iter = _truncate_and_expand(
+                op, V, jnp.asarray(Qp, dtype=wdtype), H,
+                jnp.asarray(tol, jnp.finfo(wdtype).dtype
+                            if not np.issubdtype(wdtype, np.complexfloating)
+                            else jnp.finfo(np.float32).dtype),
+                p=pa, m=m, max_dim=max_dim, ortho=ortho,
+            )
         m_new = int(n_iter)
         total_matvecs += m_new - pa
         m = m_new

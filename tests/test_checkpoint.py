@@ -1,0 +1,78 @@
+"""Checkpoint/resume tests: a solve interrupted by its restart budget must
+resume from the snapshot and converge to the same answer as an unbroken
+run."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from arnoldi_tpu import partial_schur
+from arnoldi_tpu.matrices import mark
+from arnoldi_tpu.utils.checkpoint import load_checkpoint
+from arnoldi_tpu.utils.sorting import arg_largest_real
+
+norm = np.linalg.norm
+
+
+def test_resume_after_budget_exhaustion(tmp_path):
+    A = mark(15)
+    kwargs = dict(
+        max_dim=12, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5),
+    )
+    ckpt = str(tmp_path / "ks.npz")
+
+    # Unbroken reference run.
+    Q_ref, T_ref, h_ref = partial_schur(A, 3, max_restarts=5000, **kwargs)
+    total_restarts = int(h_ref.restarts.max())
+    assert total_restarts > 3, "need a multi-restart problem for this test"
+
+    # Interrupted run: budget smaller than needed, checkpoint every restart.
+    budget = max(2, total_restarts // 2)
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=budget, checkpoint_path=ckpt,
+                      **kwargs)
+
+    ck = load_checkpoint(ckpt)
+    assert ck.restart == budget
+    assert ck.total_matvecs > 0
+
+    # Resume and finish.
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+    # Same invariant subspace as the unbroken run.
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T_ref)))
+    v2 = np.sort_complex(np.linalg.eigvals(Th))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+    # Restart counter continued rather than resetting.
+    assert int(h.restarts.max()) >= budget
+
+
+def test_checkpoint_every(tmp_path):
+    A = mark(15)
+    ckpt = str(tmp_path / "every3.npz")
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(
+            A, 3, max_dim=12, stopping_criterion=1e-12, max_restarts=7,
+            sort_function=arg_largest_real, checkpoint_path=ckpt,
+            checkpoint_every=3, key=jax.random.key(5),
+        )
+    ck = load_checkpoint(ckpt)
+    assert ck.restart == 6  # last multiple of 3 within the budget
+
+
+def test_resume_without_file_starts_fresh(tmp_path):
+    A = mark(10)
+    Q, T, _ = partial_schur(
+        A, 2, stopping_criterion=1e-8, max_restarts=2000,
+        sort_function=arg_largest_real,
+        checkpoint_path=str(tmp_path / "none.npz"), resume=True,
+        key=jax.random.key(0),
+    )
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)

@@ -1,0 +1,85 @@
+"""Pallas kernel tests (interpreter mode on CPU; the same code compiles for
+TPU via Mosaic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arnoldi_tpu.linop import as_operator
+from arnoldi_tpu.matrices import laplace, laplace_2d
+from arnoldi_tpu.ops.ortho import ORTHO_KERNELS
+from arnoldi_tpu.ops.pallas.ortho_fused import (
+    cgs2_pallas,
+    masked_project_pallas,
+    project_update_norm_pallas,
+)
+from arnoldi_tpu.ops.pallas.spmv_banded import banded_matvec_pallas
+
+
+class TestBandedPallas:
+    @pytest.mark.parametrize("gen,block", [
+        (lambda: laplace(777).tocsr(), 256),
+        (lambda: laplace_2d(40), 512),
+        (lambda: laplace_2d(33, 20), 256),
+    ])
+    def test_matches_operator(self, gen, block):
+        op = as_operator(gen())
+        n = op.shape[0]
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(n)
+                        .astype(np.float32))
+        y_ref = np.asarray(op.matvec(x))
+        y = np.asarray(banded_matvec_pallas(op.bands, x, op.offsets,
+                                            interpret=True, block_rows=block))
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_float64(self):
+        op = as_operator(laplace(300).tocsr())
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(300))
+        y = np.asarray(banded_matvec_pallas(op.bands, x, op.offsets,
+                                            interpret=True, block_rows=128))
+        np.testing.assert_allclose(y, np.asarray(op.matvec(x)), atol=1e-12)
+
+
+class TestOrthoFusedPallas:
+    def setup_method(self, method):
+        rng = np.random.default_rng(7)
+        self.n, self.mp1, self.j = 900, 21, 12
+        V = np.zeros((self.n, self.mp1), np.float32)
+        V[:, : self.j] = np.linalg.qr(
+            rng.standard_normal((self.n, self.j)))[0]
+        # stale noise beyond the active columns must be masked out
+        V[:, self.j :] = rng.standard_normal((self.n, self.mp1 - self.j))
+        self.V = jnp.asarray(V)
+        self.w = jnp.asarray(rng.standard_normal(self.n).astype(np.float32))
+
+    def test_masked_project(self):
+        mask = (jnp.arange(self.mp1) < self.j).astype(jnp.float32)
+        c = np.asarray(masked_project_pallas(self.V, self.w, mask,
+                                             interpret=True, block_rows=256))
+        c_ref = np.asarray(self.V).T @ np.asarray(self.w)
+        c_ref[self.j :] = 0
+        np.testing.assert_allclose(c, c_ref, atol=1e-4)
+
+    def test_project_update_norm(self):
+        c = jnp.zeros(self.mp1, jnp.float32).at[: self.j].set(0.5)
+        w2, ns = project_update_norm_pallas(self.V, self.w, c,
+                                            interpret=True, block_rows=256)
+        w2_ref = np.asarray(self.w) - np.asarray(self.V) @ np.asarray(c)
+        np.testing.assert_allclose(np.asarray(w2), w2_ref, atol=1e-5)
+        np.testing.assert_allclose(
+            float(ns), float(np.sum(w2_ref.astype(np.float64) ** 2)),
+            rtol=1e-5)
+
+    def test_cgs2_matches_xla_kernel(self):
+        h, w2, beta, br = cgs2_pallas(self.V, self.w, self.j, tol=1e-6,
+                                      interpret=True)
+        h0, w20, b0, br0 = ORTHO_KERNELS["cgs2"](self.V, self.w, self.j,
+                                                 tol=1e-6)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w2), np.asarray(w20), atol=1e-5)
+        assert abs(float(beta) - float(b0)) < 1e-5
+        assert bool(br) == bool(br0)
+        # orthogonality of the result
+        proj = np.asarray(self.V[:, : self.j]).T @ np.asarray(w2)
+        np.testing.assert_allclose(proj, 0, atol=1e-4)
