@@ -82,6 +82,8 @@ class EllOperator:
     data: jax.Array  # (n, L)
     cols: jax.Array  # (n, L) int32
     nnz_stored: int = dataclasses.field(metadata={"static": True})
+    #: "xla" (jnp.take gather) or "pallas" (VMEM-resident-x kernel)
+    backend: str = "xla"
 
     @property
     def shape(self):
@@ -97,6 +99,13 @@ class EllOperator:
         return self.nnz_stored
 
     def matvec(self, x):
+        if self.backend == "pallas":
+            from .ops.pallas.spmv_ell import ell_matvec_pallas
+
+            return ell_matvec_pallas(
+                self.data, self.cols, x,
+                interpret=jax.default_backend() != "tpu",
+            )
         gathered = jnp.take(x, self.cols, axis=0)  # (n, L)
         return jnp.sum(self.data * gathered, axis=1)
 
@@ -126,11 +135,11 @@ class EllOperator:
         return cls(jnp.asarray(data), jnp.asarray(cols), int(A.nnz))
 
     def tree_flatten(self):
-        return (self.data, self.cols), self.nnz_stored
+        return (self.data, self.cols), (self.nnz_stored, self.backend)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        return cls(children[0], children[1], aux[0], aux[1])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -150,6 +159,8 @@ class BandedOperator:
     bands: jax.Array  # (k, n)
     offsets: tuple = dataclasses.field(metadata={"static": True})
     nnz_stored: int = dataclasses.field(metadata={"static": True})
+    #: "xla" (shift-and-add) or "pallas" (VMEM halo-window kernel)
+    backend: str = "xla"
 
     @property
     def shape(self):
@@ -165,6 +176,13 @@ class BandedOperator:
         return self.nnz_stored
 
     def matvec(self, x):
+        if self.backend == "pallas":
+            from .ops.pallas.spmv_banded import banded_matvec_pallas
+
+            return banded_matvec_pallas(
+                self.bands, x, self.offsets,
+                interpret=jax.default_backend() != "tpu",
+            )
         n = x.shape[0]
         y = jnp.zeros(n, dtype=_result_dtype(self.dtype, x.dtype))
         for d, off in enumerate(self.offsets):
@@ -207,11 +225,11 @@ class BandedOperator:
         return cls(jnp.asarray(bands), offsets, nnz)
 
     def tree_flatten(self):
-        return (self.bands,), (self.offsets, self.nnz_stored)
+        return (self.bands,), (self.offsets, self.nnz_stored, self.backend)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0], aux[1])
+        return cls(children[0], aux[0], aux[1], aux[2])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -271,28 +289,31 @@ def pad_operator(op, n_pad):
     if isinstance(op, EllOperator):
         data = jnp.vstack([op.data, jnp.zeros((extra, op.data.shape[1]), op.data.dtype)])
         cols = jnp.vstack([op.cols, jnp.zeros((extra, op.cols.shape[1]), op.cols.dtype)])
-        return EllOperator(data, cols, op.nnz_stored)
+        return EllOperator(data, cols, op.nnz_stored, op.backend)
     if isinstance(op, DenseOperator):
         A = op.A
         A = jnp.pad(A, ((0, extra), (0, extra)))
         return DenseOperator(A)
     if isinstance(op, BandedOperator):
         bands = jnp.pad(op.bands, ((0, 0), (0, extra)))
-        return BandedOperator(bands, op.offsets, op.nnz_stored)
+        return BandedOperator(bands, op.offsets, op.nnz_stored, op.backend)
     raise TypeError(f"Cannot pad operator of type {type(op)}")
 
 
-def as_operator(A, dtype=None, format=None):
+def as_operator(A, dtype=None, format=None, backend=None):
     """Coerce ``A`` to a device operator.
 
     Accepts an existing operator, a NumPy/JAX dense array, or any SciPy
     sparse matrix.  ``format`` forces 'dense', 'ell', or 'banded'; by default
     sparse inputs go to ELL unless they are recognisably banded with few
-    diagonals (DIA wins for stencils).
+    diagonals (DIA wins for stencils).  ``backend='pallas'`` selects the
+    Pallas TPU kernels for sparse formats.
     """
     import scipy.sparse as sp
 
     if isinstance(A, LinearOperator):
+        if backend is not None and hasattr(A, "backend") and A.backend != backend:
+            return dataclasses.replace(A, backend=backend)
         return A
     if isinstance(A, (np.ndarray, jax.Array)):
         arr = jnp.asarray(A, dtype=dtype)
@@ -301,16 +322,20 @@ def as_operator(A, dtype=None, format=None):
         if format == "dense":
             return DenseOperator(jnp.asarray(A.todense(), dtype=dtype))
         if format == "banded":
-            return BandedOperator.from_scipy(A, dtype=dtype)
+            op = BandedOperator.from_scipy(A, dtype=dtype)
+            return dataclasses.replace(op, backend=backend) if backend else op
         if format == "ell":
-            return EllOperator.from_scipy(A, dtype=dtype)
+            op = EllOperator.from_scipy(A, dtype=dtype)
+            return dataclasses.replace(op, backend=backend) if backend else op
         if format is None:
             # Heuristic: DIA when the matrix is a stencil (few distinct
             # diagonals). Probe via COO offsets without building DIA.
             coo = A.tocoo()
             n_diags = np.unique(coo.col.astype(np.int64) - coo.row).size
             if n_diags <= 16:
-                return BandedOperator.from_scipy(A, dtype=dtype)
-            return EllOperator.from_scipy(A, dtype=dtype)
+                op = BandedOperator.from_scipy(A, dtype=dtype)
+            else:
+                op = EllOperator.from_scipy(A, dtype=dtype)
+            return dataclasses.replace(op, backend=backend) if backend else op
         raise ValueError(f"Unknown operator format {format!r}")
     raise TypeError(f"Cannot convert {type(A)} to a linear operator")

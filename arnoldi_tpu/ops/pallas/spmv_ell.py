@@ -1,0 +1,63 @@
+"""Pallas ELLPACK SpMV kernel.
+
+``y[r] = sum_l data[r, l] * x[cols[r, l]]`` with ``x`` held VMEM-resident
+and the gather executed on-chip per row tile.  General sparsity is the hard
+case on TPU (no scatter/gather hardware on the vector path); keeping the
+source vector in VMEM at least keeps every gathered element on-chip instead
+of issuing HBM-latency loads, and the multiply/reduce runs on the VPU.
+
+Current limit: ``x`` must fit in VMEM (n up to ~4M float32).  The XLA
+``jnp.take`` path remains the fallback (and the baseline this kernel is
+benchmarked against).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def ell_matvec_pallas(data, cols, x, *, interpret=False, block_rows=4096):
+    """ELL matvec.  data/cols: (n, L); x: (n,)."""
+    n, L = data.shape
+    assert x.shape == (n,)
+    out_dtype = jnp.result_type(data.dtype, x.dtype)
+
+    block = block_rows
+    n_pad = _ceil_to(n, block)
+    if n_pad != n:
+        data = jnp.pad(data, ((0, n_pad - n), (0, 0)))
+        cols = jnp.pad(cols, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // block,)
+
+    def kernel(d_ref, c_ref, x_ref, o_ref):
+        gathered = jnp.take(x_ref[0, :], c_ref[:, :], axis=0)  # (block, L)
+        o_ref[:, 0] = jnp.sum(
+            d_ref[:, :].astype(out_dtype) * gathered.astype(out_dtype),
+            axis=1,
+        )
+
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, L), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full x, resident
+        ],
+        out_specs=pl.BlockSpec((block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(data, cols, x[None, :].astype(out_dtype))
+    return y[:n, 0]

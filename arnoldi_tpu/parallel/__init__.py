@@ -1,5 +1,6 @@
 from .mesh import make_mesh, replicated_sharding, row_sharding
 from .sharded import shard_operator, shard_workspace, sharded_partial_schur
+from .halo_spmv import banded_matvec_halo, halo_matvec_closure
 
 __all__ = [
     "make_mesh",
@@ -8,4 +9,6 @@ __all__ = [
     "shard_operator",
     "shard_workspace",
     "sharded_partial_schur",
+    "banded_matvec_halo",
+    "halo_matvec_closure",
 ]

@@ -36,6 +36,7 @@ def shard_operator(op, mesh):
             jax.device_put(op.data, rows2),
             jax.device_put(op.cols, rows2),
             op.nnz_stored,
+            op.backend,
         )
     if isinstance(op, DenseOperator):
         return DenseOperator(jax.device_put(op.A, rows2))
@@ -44,7 +45,8 @@ def shard_operator(op, mesh):
             mesh, jax.sharding.PartitionSpec(None, mesh.axis_names[0])
         )
         return BandedOperator(
-            jax.device_put(op.bands, bands_spec), op.offsets, op.nnz_stored
+            jax.device_put(op.bands, bands_spec), op.offsets, op.nnz_stored,
+            op.backend,
         )
     if isinstance(op, CallableOperator):
         return op  # closure decides its own placement

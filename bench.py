@@ -1,104 +1,214 @@
 #!/usr/bin/env python
-"""Headline benchmark: end-to-end Krylov-Schur solve vs ARPACK.
+"""Headline benchmark.
 
-Solves the same eigenproblem (Markov walk matrix, K largest-real eigenpairs)
-with this framework on the default JAX device (TPU when present, warm run
-timed) and with SciPy's ARPACK on the host CPU, validating that both reach
-matching eigenvalues, and prints ONE JSON line:
+Primary metric (BASELINE.json north-star: hot-loop SpMV+Gram-Schmidt
+throughput + matvecs-to-convergence vs ARPACK): wall time per Arnoldi
+iteration (one SpMV + one blocked CGS2 orthogonalization against the full
+Krylov workspace) on a large 2-D Laplacian, ours on the default JAX device
+vs ARPACK's measured per-iteration time on the host CPU for the same
+operator.  ``vs_baseline > 1`` means our per-iteration hot loop is faster
+than ARPACK's.
 
-    {"metric": ..., "value": <our wall seconds>, "unit": "s",
-     "vs_baseline": <arpack_seconds / our_seconds>}
+The measurement is latency-honest: each timed cycle is one device dispatch
+of ``max_dim`` chained iterations with start vectors derived from the
+previous cycle's output (the remote TPU terminal replays cached results for
+bit-identical dispatches, so repeated identical calls must be avoided), and
+eigenvalue correctness is gated against the analytic Laplacian spectrum
+before any timing is reported.
 
-``vs_baseline > 1`` means faster than ARPACK.  Extra context fields
-(matvecs, residuals, device) ride along in the same JSON object.
+Prints ONE JSON line:
+
+    {"metric": "arnoldi_hot_loop_per_iteration", "value": <ms>,
+     "unit": "ms", "vs_baseline": <arpack_ms_per_iter / ours_ms_per_iter>, ...}
+
+``python bench.py solve [m_grid]`` runs the end-to-end Krylov-Schur solve
+benchmark (mark matrix vs ARPACK wall time) instead.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def main():
+def correctness_gate(on_tpu):
+    """Small partial_eigh solve validated against the analytic spectrum."""
+    import jax
+
+    from arnoldi_tpu import partial_eigh
+    from arnoldi_tpu.matrices import laplace_2d, laplace_2d_eigen
+
+    nx, ny = 40, 39
+    A = laplace_2d(nx, ny)
+    if on_tpu:
+        dtype, tol = np.float32, 3e-4
+    else:
+        dtype, tol = np.float64, 1e-9
+    vals, vecs, hist = partial_eigh(
+        A.astype(dtype), 4, which="LA", stopping_criterion=tol,
+        max_restarts=3000, dtype=dtype, key=jax.random.key(0),
+    )
+    want = np.sort(laplace_2d_eigen(nx, ny))[-4:]
+    err = float(np.abs(np.sort(vals) - want).max())
+    assert err < 200 * tol, f"correctness gate failed: eigenvalue err {err}"
+    return {"gate_eig_err": err, "gate_matvecs": int(hist.total_matvecs)}
+
+
+def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3):
+    import jax
+    import jax.numpy as jnp
+
+    from arnoldi_tpu.linop import as_operator
+    from arnoldi_tpu.matrices import laplace_2d
+    from arnoldi_tpu.solvers.decomposition import _expand_jit
+    from arnoldi_tpu.utils.random import rand_normalized_vector
+
+    dtype = np.float32 if on_tpu else np.float64
+    op = as_operator(laplace_2d(n_grid).astype(dtype))
+    n = op.shape[0]
+    H = jnp.zeros((max_dim + 1, max_dim), dtype)
+    tolv = np.sqrt(np.finfo(dtype).eps)
+
+    def one_cycle(v0):
+        V = jnp.zeros((n, max_dim + 1), dtype).at[:, 0].set(v0)
+        return _expand_jit(op, V, H, tolv, start_dim=0, max_dim=max_dim,
+                           ortho="cgs2")
+
+    v0 = rand_normalized_vector(jax.random.key(0), n, dtype)
+    V2, _, _ = one_cycle(v0)          # compile + warm
+    jax.block_until_ready(V2)
+
+    t0 = time.perf_counter()
+    for _ in range(cycles):
+        # chain: next start vector derived from this cycle's last column
+        v0 = V2[:, max_dim] + jnp.float32(1e-3) * V2[:, 0] if on_tpu \
+            else V2[:, max_dim] + 1e-3 * V2[:, 0]
+        v0 = v0 / jnp.linalg.norm(v0)
+        V2, _, _ = one_cycle(v0)
+    jax.block_until_ready(V2)
+    per_iter = (time.perf_counter() - t0) / (cycles * max_dim)
+    return op, per_iter, {
+        "n": n, "nnz": int(op.nnz), "max_dim": max_dim,
+        "nnz_per_s": op.nnz / per_iter,
+        "ortho_gb_per_s": 4 * n * (max_dim + 1) * np.dtype(dtype).itemsize
+        / per_iter / 1e9,
+    }
+
+
+def arpack_per_iter(op_scipy, max_dim=80, budget_matvecs=600):
+    """ARPACK's measured per-iteration (matvec + its orthogonalization)
+    time on the host for the same operator and Krylov dimension."""
+    from scipy.sparse.linalg import ArpackNoConvergence, eigsh
+
+    from arnoldi_tpu.harness.suite import MatvecCounter
+
+    counter = MatvecCounter(op_scipy)
+    maxiter = max(budget_matvecs // max(max_dim - 5, 1), 2)
+    t0 = time.perf_counter()
+    try:
+        eigsh(counter, 5, which="SA", ncv=max_dim, maxiter=maxiter, tol=1e-14)
+    except ArpackNoConvergence:
+        pass
+    elapsed = time.perf_counter() - t0
+    return elapsed / max(counter.n_matvecs, 1), counter.n_matvecs
+
+
+def main_hot_loop():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    gate = correctness_gate(on_tpu)
+
+    n_grid = int(os.environ.get("BENCH_GRID", "724"))
+    op, ours_per_iter, ctx = hot_loop(on_tpu, n_grid=n_grid)
+
+    import scipy.sparse as sp
+
+    from arnoldi_tpu.matrices import laplace_2d
+
+    A_host = sp.csr_matrix(laplace_2d(n_grid).astype(np.float64))
+    arpack_it, arpack_mv = arpack_per_iter(A_host, max_dim=ctx["max_dim"])
+
+    print(json.dumps({
+        "metric": "arnoldi_hot_loop_per_iteration",
+        "value": round(ours_per_iter * 1e3, 4),
+        "unit": "ms",
+        "vs_baseline": round(arpack_it / ours_per_iter, 4),
+        "device": jax.devices()[0].platform,
+        "arpack_ms_per_iteration": round(arpack_it * 1e3, 4),
+        "arpack_matvecs_sampled": arpack_mv,
+        **{k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in ctx.items()},
+        **gate,
+    }))
+
+
+def main_solve(m_grid=300):
+    """End-to-end Krylov-Schur solve vs ARPACK wall time (secondary mode)."""
     import jax
 
     from arnoldi_tpu import partial_schur
-    from arnoldi_tpu.matrices import mark
-    from arnoldi_tpu.solvers.krylov_schur import (
-        _backend_supports_complex,
-        eigenpairs_from_partial_schur,
-    )
+    from arnoldi_tpu.solvers.krylov_schur import eigenpairs_from_partial_schur
     from arnoldi_tpu.utils.sorting import arg_largest_real
+    from arnoldi_tpu.matrices import mark
 
-    m_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     k = 5
-    A = mark(m_grid)  # n = m_grid*(m_grid+1)/2
-    n = A.shape[0]
-
+    A = mark(m_grid)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        dtype = np.float32
-        tol = 3e-4
-        ortho = "cgs2"
-    else:
-        dtype = np.float64
-        tol = 1e-8
-        ortho = "cgs_dgks"
+    dtype = np.float32 if on_tpu else np.float64
+    tol = 3e-4 if on_tpu else 1e-8
     Af = A.astype(dtype)
 
-    kwargs = dict(
-        max_dim=40, p=15, stopping_criterion=tol,
-        sort_function=arg_largest_real, max_restarts=5000, dtype=dtype,
-        ortho=ortho, key=jax.random.key(0),
-    )
+    max_dim = int(os.environ.get("BENCH_MAX_DIM", "80"))
+    kwargs = dict(max_dim=max_dim, p=max_dim // 4, stopping_criterion=tol,
+                  sort_function=arg_largest_real, max_restarts=5000,
+                  dtype=dtype, ortho="cgs2", key=jax.random.key(0))
 
-    # Warm-up (compilation + tunnel init), then the timed run.  The timed
-    # run uses a DIFFERENT start key: the axon TPU terminal replays cached
-    # results for bit-identical computations, which would make a same-input
-    # warm run meaninglessly fast.
-    partial_schur(Af, k, **kwargs)
-    kwargs["key"] = jax.random.key(1)
+    partial_schur(Af, k, **kwargs)            # warm (compile)
+    kwargs["key"] = jax.random.key(1)         # defeat terminal replay cache
     t0 = time.perf_counter()
     Q, T, hist = partial_schur(Af, k, **kwargs)
     jax.block_until_ready(Q)
     ours_s = time.perf_counter() - t0
 
-    vals, vecs = eigenpairs_from_partial_schur(Q, T)
-    vecs = np.asarray(vecs)
-    res = np.linalg.norm(A @ vecs - vals * vecs, axis=0) / np.abs(vals)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    schur_res = np.linalg.norm(A @ Qh - Qh @ Th, axis=0)
+    schur_rel = schur_res / np.abs(np.linalg.eigvals(Th)).max()
 
-    # ARPACK baseline on the host CPU, same problem and tolerance regime.
     from scipy.sparse.linalg import eigs
 
     t0 = time.perf_counter()
-    r_vals, r_vecs = eigs(A, k, which="LR", tol=tol)
+    r_vals, _ = eigs(A, k, which="LR", tol=tol)
     arpack_s = time.perf_counter() - t0
 
-    # Eigenvalues must agree (Hungarian matching; order is undefined).
+    vals = np.linalg.eigvals(Th)
     from scipy.optimize import linear_sum_assignment
 
-    kk = min(len(vals), len(r_vals))
-    cost = np.abs(np.asarray(vals)[:, None] - r_vals[None, :])
+    cost = np.abs(vals[:, None] - r_vals[None, :])
     ri, ci = linear_sum_assignment(cost)
-    match_err = float(np.abs(np.asarray(vals)[ri] - r_vals[ci]).max())
+    match_err = float(np.abs(vals[ri] - r_vals[ci]).max())
 
     print(json.dumps({
         "metric": f"partial_schur_mark{m_grid}_k{k}_LR_wall",
         "value": round(ours_s, 4),
         "unit": "s",
         "vs_baseline": round(arpack_s / ours_s, 4),
-        "n": n,
+        "n": A.shape[0],
         "device": jax.devices()[0].platform,
         "dtype": str(np.dtype(dtype)),
         "tol": tol,
         "matvecs": int(hist.total_matvecs),
         "restarts": int(hist.restarts.max()),
-        "max_rel_residual": float(res.max()),
+        "max_schur_residual": float(schur_rel.max()),
         "arpack_seconds": round(arpack_s, 4),
         "eigval_match_err": match_err,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "solve":
+        main_solve(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
+    else:
+        main_hot_loop()
