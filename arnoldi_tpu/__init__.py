@@ -10,6 +10,7 @@ and parallel utilities that the TPU-native design adds.
 from ._version import __version__
 from .solvers.krylov_schur import partial_schur
 from .solvers.lanczos import partial_eigh
+from .solvers.spectral_transform import eigs, eigsh, shift_invert_operator
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
     History,
@@ -28,6 +29,9 @@ __all__ = [
     "__version__",
     "partial_schur",
     "partial_eigh",
+    "eigs",
+    "eigsh",
+    "shift_invert_operator",
     "arnoldi_decomposition",
     "RitzDecomposition",
     "History",

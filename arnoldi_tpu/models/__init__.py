@@ -15,3 +15,8 @@ from ..solvers import (  # noqa: F401
     partial_schur,
 )
 from ..solvers.krylov_schur import eigenpairs_from_partial_schur  # noqa: F401
+from ..solvers.spectral_transform import (  # noqa: F401
+    eigs,
+    eigsh,
+    shift_invert_operator,
+)

@@ -1,0 +1,83 @@
+"""Shift-invert and scipy-compatible wrapper tests."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from arnoldi_tpu.matrices import laplace, laplace_2d, laplace_eigen, mark
+from arnoldi_tpu.solvers.spectral_transform import (
+    eigs,
+    eigsh,
+    shift_invert_operator,
+)
+
+from common import find_best_matching
+
+
+class TestShiftInvertOperator:
+    def test_matvec_is_inverse(self):
+        A = laplace(60).tocsr()
+        sigma = 0.5
+        op = shift_invert_operator(A, sigma, solver="bicgstab",
+                                   inner_tol=1e-12)
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal(60)
+        x = np.asarray(op.matvec(b))
+        np.testing.assert_allclose((A - sigma * sp.eye(60)) @ x, b,
+                                   atol=1e-8)
+
+
+class TestEigs:
+    def test_plain_matches_scipy(self):
+        A = mark(12)
+        vals, vecs = eigs(A, 4, which="LR", tol=1e-9,
+                          key=jax.random.key(0), maxiter=5000)
+        r_vals = spla.eigs(A, 4, which="LR")[0]
+        a, b = find_best_matching(vals, r_vals)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+        assert vals.shape == (4,)
+        assert vecs.shape == (A.shape[0], 4)
+
+    def test_no_eigenvectors(self):
+        A = mark(10)
+        vals = eigs(A, 3, which="LM", tol=1e-8, return_eigenvectors=False,
+                    maxiter=5000, key=jax.random.key(1))
+        assert vals.shape == (3,)
+
+    def test_shift_invert_interior(self):
+        # Interior eigenvalues of the 1-D Laplacian nearest sigma.
+        n = 80
+        A = laplace(n).tocsr()
+        sigma = -1.7
+        vals, vecs = eigs(A, 3, sigma=sigma, tol=1e-9,
+                          key=jax.random.key(2), maxiter=5000)
+        full = np.sort(laplace_eigen(n))
+        want = full[np.argsort(np.abs(full - sigma))[:3]]
+        a, b = find_best_matching(np.real(vals), want)
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-8)
+        # residuals of the back-transformed pairs
+        res = np.linalg.norm(A @ vecs - vals * vecs, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+
+class TestEigsh:
+    def test_plain(self):
+        A = laplace_2d(12, 11)
+        vals, vecs = eigsh(A, 4, which="SA", tol=1e-9,
+                           key=jax.random.key(3), maxiter=5000)
+        want = spla.eigsh(A.astype(float), 4, which="SA")[0]
+        np.testing.assert_allclose(np.sort(vals), np.sort(want),
+                                   rtol=1e-8, atol=1e-8)
+
+    def test_shift_invert_smallest(self):
+        # Classic use: smallest eigenvalues of an SPD-ish operator via a
+        # shift below the spectrum (sigma < lambda_min < 0 here).
+        n = 100
+        A = laplace(n).tocsr()
+        vals, vecs = eigsh(A, 3, sigma=-4.1, tol=1e-8,
+                           inner_solver="bicgstab", key=jax.random.key(4),
+                           maxiter=5000)
+        want = np.sort(laplace_eigen(n))[:3]
+        np.testing.assert_allclose(np.sort(vals), want, rtol=1e-6, atol=1e-7)
