@@ -1,14 +1,15 @@
-"""Pallas fused blocked Gram-Schmidt kernels.
+"""Pallas fused blocked Gram-Schmidt kernels (transposed basis layout).
 
-The CGS projection is two tall-skinny passes over the basis ``V``:
+The basis is ``Vt: (m+1, n)`` — each Krylov vector a contiguous row.  The
+CGS projection is two streaming passes over ``Vt``:
 
-1. ``c = mask * (V^T w)`` — reduction over rows (this kernel accumulates
-   row-tile partial products into the output across sequential grid steps),
-2. ``w' = w - V c`` with ``||w'||^2`` accumulated in the same pass — the
+1. ``c = mask * (Vt @ w)`` — per column-tile partial products accumulated
+   into the output across sequential grid steps,
+2. ``w' = w - c @ Vt`` with ``||w'||^2`` accumulated in the same pass — the
    fusion XLA does not do (it materializes ``w'`` then re-reads it for the
    norm).
 
-Together one DGKS-checked CGS pass touches ``V`` exactly twice — the
+Together one DGKS-checked CGS pass touches ``Vt`` exactly twice — the
 bandwidth lower bound.  Real dtypes only (the TPU device path); the complex
 CPU path keeps the XLA implementation.
 """
@@ -25,17 +26,17 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def masked_project_pallas(V, w, mask, *, interpret=False, block_rows=2048):
-    """``c = mask * (V^T @ w)`` with row-tiled accumulation.
+@partial(jax.jit, static_argnames=("interpret", "block_cols"))
+def masked_project_pallas(Vt, w, mask, *, interpret=False, block_cols=16384):
+    """``c = mask * (Vt @ w)`` with column-tiled accumulation.
 
-    V: (n, mp1) real; w: (n,); mask: (mp1,) in V.dtype.
+    Vt: (mp1, n) real; w: (n,); mask: (mp1,) in Vt.dtype.
     """
-    n, mp1 = V.shape
-    block = block_rows
+    mp1, n = Vt.shape
+    block = block_cols
     n_pad = _ceil_to(n, block)
     if n_pad != n:
-        V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
+        Vt = jnp.pad(Vt, ((0, 0), (0, n_pad - n)))
         w = jnp.pad(w, (0, n_pad - n))
 
     grid = (n_pad // block,)
@@ -47,11 +48,12 @@ def masked_project_pallas(V, w, mask, *, interpret=False, block_rows=2048):
         def _():
             c_ref[:, :] = jnp.zeros_like(c_ref)
 
+        # (mp1, block) x (block, 1) partial product on the MXU
         part = jax.lax.dot_general(
-            w_ref[:, :], V_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            V_ref[:, :], w_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (1, mp1)
+        )  # (mp1, 1)
         c_ref[:, :] += part.astype(c_ref.dtype)
 
         @pl.when(i == pl.num_programs(0) - 1)
@@ -60,10 +62,10 @@ def masked_project_pallas(V, w, mask, *, interpret=False, block_rows=2048):
 
     c = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, mp1), V.dtype),
+        out_shape=jax.ShapeDtypeStruct((mp1, 1), Vt.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, mp1), lambda i: (i, 0),
+            pl.BlockSpec((mp1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -71,22 +73,23 @@ def masked_project_pallas(V, w, mask, *, interpret=False, block_rows=2048):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(V, w[None, :], mask[None, :])
-    return c[0]
+    )(Vt, w[None, :], mask[:, None])
+    return c[:, 0]
 
 
-@partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def project_update_norm_pallas(V, w, c, *, interpret=False, block_rows=2048):
-    """``w' = w - V @ c`` fused with ``||w'||^2`` accumulation.
+@partial(jax.jit, static_argnames=("interpret", "block_cols"))
+def project_update_norm_pallas(Vt, w, c, *, interpret=False,
+                               block_cols=16384):
+    """``w' = w - c @ Vt`` fused with ``||w'||^2`` accumulation.
 
     Returns ``(w', norm_sq)`` — the separate norm pass over ``w'`` that the
     XLA path pays is folded into the update.
     """
-    n, mp1 = V.shape
-    block = block_rows
+    mp1, n = Vt.shape
+    block = block_cols
     n_pad = _ceil_to(n, block)
     if n_pad != n:
-        V = jnp.pad(V, ((0, n_pad - n), (0, 0)))
+        Vt = jnp.pad(Vt, ((0, 0), (0, n_pad - n)))
         w = jnp.pad(w, (0, n_pad - n))
 
     grid = (n_pad // block,)
@@ -98,12 +101,13 @@ def project_update_norm_pallas(V, w, c, *, interpret=False, block_rows=2048):
         def _():
             ns_ref[:, :] = jnp.zeros_like(ns_ref)
 
+        # (1, mp1) x (mp1, block) on the MXU
         upd = jax.lax.dot_general(
-            V_ref[:, :], c_ref[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            c_ref[:, :], V_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block, 1)
-        w_new = w_ref[:, :] - upd.astype(w_ref.dtype).T
+        )  # (1, block)
+        w_new = w_ref[:, :] - upd.astype(w_ref.dtype)
         o_ref[:, :] = w_new
         ns_ref[:, :] += jnp.sum(
             w_new.astype(jnp.float32) * w_new.astype(jnp.float32),
@@ -113,12 +117,12 @@ def project_update_norm_pallas(V, w, c, *, interpret=False, block_rows=2048):
     w_new, norm_sq = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), V.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), Vt.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, mp1), lambda i: (i, 0),
+            pl.BlockSpec((mp1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -130,19 +134,20 @@ def project_update_norm_pallas(V, w, c, *, interpret=False, block_rows=2048):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(V, w[None, :], c[None, :])
+    )(Vt, w[None, :], c[None, :])
     return w_new[0, :n], norm_sq[0, 0]
 
 
-def cgs2_pallas(V, w, n_active, *, tol=1e-8, eta=None, interpret=False):
+def cgs2_pallas(Vt, w, n_active, *, tol=1e-8, eta=None, interpret=False):
     """Drop-in ortho kernel (see ``arnoldi_tpu.ops.ortho``): unconditional
-    twice-is-enough CGS built from the fused Pallas passes.  Real dtypes.
+    twice-is-enough CGS built from the fused Pallas passes.  Real dtypes,
+    transposed basis layout.
     """
-    mp1 = V.shape[1]
-    mask = (jnp.arange(mp1) < n_active).astype(V.dtype)
-    c1 = masked_project_pallas(V, w, mask, interpret=interpret)
-    w1, _ = project_update_norm_pallas(V, w, c1, interpret=interpret)
-    c2 = masked_project_pallas(V, w1, mask, interpret=interpret)
-    w2, ns = project_update_norm_pallas(V, w1, c2, interpret=interpret)
-    beta = jnp.sqrt(ns).astype(jnp.finfo(V.dtype).dtype)
+    mp1 = Vt.shape[0]
+    mask = (jnp.arange(mp1) < n_active).astype(Vt.dtype)
+    c1 = masked_project_pallas(Vt, w, mask, interpret=interpret)
+    w1, _ = project_update_norm_pallas(Vt, w, c1, interpret=interpret)
+    c2 = masked_project_pallas(Vt, w1, mask, interpret=interpret)
+    w2, ns = project_update_norm_pallas(Vt, w1, c2, interpret=interpret)
+    beta = jnp.sqrt(ns).astype(jnp.finfo(Vt.dtype).dtype)
     return c1 + c2, w2, beta, beta < tol

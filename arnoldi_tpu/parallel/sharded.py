@@ -53,10 +53,14 @@ def shard_operator(op, mesh):
     raise TypeError(f"Cannot shard operator of type {type(op)}")
 
 
-def shard_workspace(V, H, mesh):
-    """Row-shard the Krylov basis, replicate the projected matrix."""
+def shard_workspace(Vt, H, mesh):
+    """Shard the transposed Krylov basis over its row dimension (axis 1 of
+    ``Vt: (m+1, n)``), replicate the projected matrix."""
+    vt_spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, mesh.axis_names[0])
+    )
     return (
-        jax.device_put(V, row_sharding(mesh, 2)),
+        jax.device_put(Vt, vt_spec),
         jax.device_put(H, replicated_sharding(mesh)),
     )
 

@@ -13,10 +13,13 @@ Semantics parity with the reference's ``src/arnoldi/decomposition.py``:
 TPU-first design (deliberately NOT the reference's mutable in-place API):
 
 * The factorization state is an immutable pytree of fixed-shape arrays
-  ``V: (n, m+1)`` and ``H: (m+1, m)``; "length" is data, not shape.  The
-  reference's early-return truncation on breakdown
-  (``decomposition.py:61-63``) becomes a ``lax.while_loop`` exit with the
-  reached dimension ``n_iter`` returned as a traced scalar.
+  ``Vt: (m+1, n)`` (TRANSPOSED: basis vectors are contiguous rows — the
+  reference's F-order observation, krylov_schur.py:40-42, measured ~1.8x
+  faster per iteration on TPU than the column layout) and
+  ``H: (m+1, m)``; "length" is data, not shape.  The reference's
+  early-return truncation on breakdown (``decomposition.py:61-63``) becomes
+  a ``lax.while_loop`` exit with the reached dimension ``n_iter`` returned
+  as a traced scalar.
 * The whole expansion — matvec, masked Gram-Schmidt projection (two MXU
   matmuls), Hessenberg column writes — is one jitted function; nothing
   round-trips to the host inside the loop.
@@ -44,66 +47,66 @@ def default_invariant_tol(dtype):
 
 
 @partial(jax.jit, static_argnames=("start_dim", "max_dim", "ortho"))
-def _expand_jit(op, V, H, invariant_tol, *, start_dim, max_dim, ortho):
+def _expand_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
     ortho_fn = resolve_ortho(ortho)
-    mp1 = V.shape[1]
-    rdtype = jnp.finfo(V.dtype).dtype
+    mp1 = Vt.shape[0]
+    rdtype = jnp.finfo(Vt.dtype).dtype
 
     def cond_fn(state):
-        V, H, j, done = state
+        Vt, H, j, done = state
         return jnp.logical_and(j < max_dim, jnp.logical_not(done))
 
     def body_fn(state):
-        V, H, j, _ = state
-        v_j = lax.dynamic_slice_in_dim(V, j, 1, axis=1)[:, 0]
-        w = op.matvec(v_j).astype(V.dtype)
-        h, w, beta, breakdown = ortho_fn(V, w, j + 1, tol=invariant_tol)
+        Vt, H, j, _ = state
+        v_j = lax.dynamic_slice_in_dim(Vt, j, 1, axis=0)[0]
+        w = op.matvec(v_j).astype(Vt.dtype)
+        h, w, beta, breakdown = ortho_fn(Vt, w, j + 1, tol=invariant_tol)
         # Column j of H: projection coefficients in rows 0..j, the coupling
         # coefficient beta at row j+1 (left at zero on breakdown, matching
         # the reference's truncated return where H[j+1, j] is never written).
-        beta_entry = jnp.where(breakdown, jnp.zeros((), rdtype), beta).astype(V.dtype)
+        beta_entry = jnp.where(breakdown, jnp.zeros((), rdtype), beta).astype(Vt.dtype)
         col = jnp.where(jnp.arange(mp1) == j + 1, beta_entry, h)
         H = lax.dynamic_update_slice(H, col[:, None], (0, j))
         # Next basis vector: w / beta, or the raw (near-zero) w on breakdown
         # (its coupling coefficient is zero so it never enters the invariant).
         safe_beta = jnp.where(breakdown, jnp.ones((), rdtype), beta)
         v_next = jnp.where(breakdown, w, w / safe_beta)
-        V = lax.dynamic_update_slice(V, v_next[:, None], (0, j + 1))
-        return V, H, j + 1, breakdown
+        Vt = lax.dynamic_update_slice(Vt, v_next[None, :], (j + 1, 0))
+        return Vt, H, j + 1, breakdown
 
-    V, H, j, _ = lax.while_loop(
-        cond_fn, body_fn, (V, H, jnp.asarray(start_dim), jnp.asarray(False))
+    Vt, H, j, _ = lax.while_loop(
+        cond_fn, body_fn, (Vt, H, jnp.asarray(start_dim), jnp.asarray(False))
     )
-    return V, H, j
+    return Vt, H, j
 
 
-def arnoldi_expand(A, V, H, invariant_tol=None, *, start_dim=0, max_dim=None,
+def arnoldi_expand(A, Vt, H, invariant_tol=None, *, start_dim=0, max_dim=None,
                    ortho="cgs_dgks"):
-    """Extend the Arnoldi factorization ``(V, H)`` of ``A``.
+    """Extend the Arnoldi factorization ``(Vt, H)`` of ``A``.
 
     Parameters
     ----------
     A : operator-like (see :func:`arnoldi_tpu.linop.as_operator`).
-    V : (n, m+1) array with columns ``0..start_dim`` valid (column
-        ``start_dim`` is the next start vector, unit norm) and the rest zero
-        or stale (they are masked).
+    Vt : (m+1, n) TRANSPOSED basis workspace: row ``j`` is the j-th Krylov
+        vector.  Rows ``0..start_dim`` valid (row ``start_dim`` is the next
+        start vector, unit norm); the rest zero or stale (they are masked).
     H : (m+1, m) array, valid in the leading ``start_dim`` columns.
     invariant_tol : breakdown threshold; default ``sqrt(eps(A.dtype))``.
-    start_dim, max_dim : static ints — extend columns ``start_dim..max_dim``.
+    start_dim, max_dim : static ints — extend rows ``start_dim..max_dim``.
     ortho : orthogonalization kernel name or callable
         (see ``arnoldi_tpu.ops.ortho.ORTHO_KERNELS``).
 
     Returns
     -------
-    V, H : updated arrays (same fixed shapes).
+    Vt, H : updated arrays (same fixed shapes).
     n_iter : traced int scalar — reached dimension; ``< max_dim`` iff the
         expansion hit an invariant subspace ("happy breakdown").
     """
     op = as_operator(A)
-    m = V.shape[1] - 1
+    m = Vt.shape[0] - 1
     n = op.shape[0]
     assert op.shape[1] == n, "A is expected to be a square operator"
-    assert V.shape == (n, m + 1), "V must have the same number of rows as A"
+    assert Vt.shape == (m + 1, n), "Vt must be (m+1, n) transposed layout"
     assert H.shape == (m + 1, m), f"H must be {(m + 1, m)}, is {H.shape}"
     if max_dim is None:
         max_dim = m
@@ -113,26 +116,28 @@ def arnoldi_expand(A, V, H, invariant_tol=None, *, start_dim=0, max_dim=None,
     if invariant_tol is None:
         invariant_tol = default_invariant_tol(op.dtype)
 
-    rdtype = jnp.finfo(jnp.asarray(V).dtype).dtype
+    rdtype = jnp.finfo(jnp.asarray(Vt).dtype).dtype
     return _expand_jit(
-        op, jnp.asarray(V), jnp.asarray(H), jnp.asarray(invariant_tol, rdtype),
+        op, jnp.asarray(Vt), jnp.asarray(H), jnp.asarray(invariant_tol, rdtype),
         start_dim=int(start_dim), max_dim=int(max_dim), ortho=ortho,
     )
 
 
 def arnoldi_decomposition(A, V, H, invariant_tol=None, *, start_dim=0,
                           max_dim=None, ortho="cgs_dgks"):
-    """Reference-signature driver (``decomposition.py:13-68``): like
-    :func:`arnoldi_expand` but returns host-truncated views
+    """Reference-signature driver (``decomposition.py:13-68``): takes and
+    returns the reference's ``V: (n, m+1)`` orientation (transposing to the
+    internal row layout), with host-truncated views
     ``(V[:, :n_iter+1], H[:n_iter+1, :n_iter], n_iter)`` so downstream
     host-tier code sees the same shapes as the reference API.
     """
-    V, H, n_iter_dev = arnoldi_expand(
-        A, V, H, invariant_tol, start_dim=start_dim, max_dim=max_dim,
+    Vt = jnp.asarray(V).T
+    Vt, H, n_iter_dev = arnoldi_expand(
+        A, Vt, H, invariant_tol, start_dim=start_dim, max_dim=max_dim,
         ortho=ortho,
     )
     n_iter = int(n_iter_dev)
-    return V[:, : n_iter + 1], H[: n_iter + 1, :n_iter], n_iter
+    return Vt[: n_iter + 1, :].T, H[: n_iter + 1, :n_iter], n_iter
 
 
 @dataclasses.dataclass
@@ -190,6 +195,47 @@ class RitzDecomposition:
                 V_m, jnp.asarray(S, dtype=V_m.dtype),
                 precision=jax.lax.Precision.HIGHEST,
             )
+
+        approximate_residuals = np.abs(H_host[max_dim, max_dim - 1] * S[-1])
+        return cls(ritz_values, ritz_vectors, approximate_residuals)
+
+    @classmethod
+    def from_vt_and_h(cls, Vt, H, n_ritz, *, max_dim=None, sort_function=None):
+        """Like :meth:`from_v_and_h` but taking the internal TRANSPOSED
+        basis layout ``Vt: (m+1, n)`` (rows are Krylov vectors); the Ritz
+        vectors are still returned column-oriented ``(n, n_ritz)``."""
+        if max_dim is None:
+            max_dim = Vt.shape[0] - 1
+        assert H.shape[0] > max_dim
+        assert H.shape[1] >= max_dim
+        assert Vt.shape[0] > max_dim
+        assert n_ritz <= max_dim
+        if sort_function is None:
+            sort_function = arg_largest_magnitude
+
+        H_host = np.asarray(H)
+        H_m = H_host[:max_dim, :max_dim]
+        eigvals, eigvecs = np.linalg.eig(H_m)
+        ind = np.asarray(sort_function(eigvals))[:n_ritz]
+        S = eigvecs[:, ind]
+
+        ritz_values = eigvals[ind]
+        Vt_m = jnp.asarray(Vt)[:max_dim, :]
+        if np.iscomplexobj(S) and not jnp.issubdtype(
+            Vt_m.dtype, jnp.complexfloating
+        ):
+            vr = np.asarray(jnp.matmul(jnp.asarray(S.real.T, Vt_m.dtype),
+                                       Vt_m,
+                                       precision=jax.lax.Precision.HIGHEST))
+            vi = np.asarray(jnp.matmul(jnp.asarray(S.imag.T, Vt_m.dtype),
+                                       Vt_m,
+                                       precision=jax.lax.Precision.HIGHEST))
+            ritz_vectors = (vr + 1j * vi).T  # host array (no complex on TPU)
+        else:
+            ritz_vectors = jnp.matmul(
+                jnp.asarray(S.T, dtype=Vt_m.dtype), Vt_m,
+                precision=jax.lax.Precision.HIGHEST,
+            ).T
 
         approximate_residuals = np.abs(H_host[max_dim, max_dim - 1] * S[-1])
         return cls(ritz_values, ritz_vectors, approximate_residuals)

@@ -58,9 +58,9 @@ def mgs_orthogonalize(basis, w, tol):
     """Reference-compatible helper (``explicit_restarts.py:63-77``):
     orthonormalize ``w`` against all columns of ``basis``; raises if the
     norm collapses below ``tol``."""
-    basis = jnp.asarray(basis)
-    w = jnp.asarray(w, dtype=basis.dtype)
-    v, beta = _ortho_against_locked(basis, w, basis.shape[1])
+    basis_t = jnp.asarray(basis).T  # columns -> internal row layout
+    w = jnp.asarray(w, dtype=basis_t.dtype)
+    v, beta = _ortho_against_locked(basis_t, w, basis_t.shape[0])
     if float(beta) <= tol:
         raise AssertionError("MGS: Too small norm when orthornormalizing")
     return v
@@ -93,12 +93,12 @@ def naive_explicit_restarts(A, m=None, *, stopping_criterion=None,
 
     ritz = None
     for i in range(max_restarts):
-        V = jnp.zeros((n, m + 1), dtype=wdtype).at[:, 0].set(v0)
+        V = jnp.zeros((m + 1, n), dtype=wdtype).at[0, :].set(v0)
         H = jnp.zeros((m + 1, m), dtype=wdtype)
         V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=0, max_dim=m,
                                       ortho=ortho)
         n_iter = int(n_iter)
-        ritz = RitzDecomposition.from_v_and_h(V, H, k, max_dim=n_iter)
+        ritz = RitzDecomposition.from_vt_and_h(V, H, k, max_dim=n_iter)
         if ritz.approximate_residuals[0] < tol:
             residuals = ritz.compute_true_residuals(op)
             if residuals[0] / max(abs(ritz.values[0]), tol) < tol:
@@ -140,7 +140,7 @@ def explicit_restarts_with_deflation(
     wdtype = jax.dtypes.canonicalize_dtype(ct) if dtype is None \
         else jax.dtypes.canonicalize_dtype(np.dtype(dtype))
 
-    V = jnp.zeros((n, max_dim + 1), dtype=wdtype)
+    V = jnp.zeros((max_dim + 1, n), dtype=wdtype)
     H_host = np.zeros((max_dim + 1, max_dim), dtype=wdtype)
 
     history = History.from_k(nev)
@@ -152,7 +152,7 @@ def explicit_restarts_with_deflation(
         v0 = rand_normalized_vector(sub, n, wdtype)
         v0, beta = _ortho_against_locked(V, v0, k)
         assert float(beta) > tol, "start vector collapsed onto locked basis"
-        V = V.at[:, k].set(v0)
+        V = V.at[k, :].set(v0)
 
         matvecs_k = 0
         converged_k = False
@@ -168,10 +168,10 @@ def explicit_restarts_with_deflation(
 
             H_host = np.array(H)  # writable host copy
             # Ritz extraction on the deflated sub-factorization
-            # (reference :130-135): V[:, k:m+1], H[k:m+1, k:m].
-            V_k = V[:, k : m + 1]
+            # (reference :130-135): rows k..m of Vt, H[k:m+1, k:m].
+            V_k = V[k : m + 1, :]
             H_k = H_host[k : m + 1, k:m]
-            ritz = RitzDecomposition.from_v_and_h(
+            ritz = RitzDecomposition.from_vt_and_h(
                 V_k, H_k, m - k, sort_function=sort_function
             )
 
@@ -182,7 +182,7 @@ def explicit_restarts_with_deflation(
             # Re-orthogonalize the candidate against the locked basis.
             v_k, beta = _ortho_against_locked(V, v_k, k)
             assert float(beta) > tol, "Ritz vector collapsed onto locked basis"
-            V = V.at[:, k].set(v_k)
+            V = V.at[k, :].set(v_k)
 
             approximate_convergence = (
                 ritz.approximate_residuals / np.abs(ritz.values)
@@ -193,8 +193,8 @@ def explicit_restarts_with_deflation(
             if converged_k:
                 # Lock: build column k of the projected H by Rayleigh
                 # quotients against the locked basis (reference :149-151).
-                Av = op.matvec(V[:, k]).astype(wdtype)
-                coeffs = np.asarray(V[:, : k + 1].conj().T @ Av)
+                Av = op.matvec(V[k, :]).astype(wdtype)
+                coeffs = np.asarray(jnp.matmul(V[: k + 1, :].conj(), Av))
                 H_host[: k + 1, k] = coeffs
                 H_host[k + 1 : -1, k] = 0
 
@@ -207,5 +207,5 @@ def explicit_restarts_with_deflation(
     # Final re-diagonalization of the projected matrix (reference :162-167;
     # required for Markov-type matrices).
     eivals, Y = dense_tier.eig(H_host[:nev, :nev])
-    eivecs = V[:, :nev] @ jnp.asarray(Y, dtype=wdtype)
+    eivecs = jnp.matmul(V[:nev, :].T, jnp.asarray(Y, dtype=wdtype))
     return eivals, eivecs, history

@@ -39,20 +39,21 @@ from .decomposition import arnoldi_expand, default_invariant_tol
 
 
 @partial(jax.jit, static_argnames=("p", "m"))
-def _truncate_basis(V, Qp, *, p, m):
-    """Device-side basis truncation: ``V[:, :p] = V[:, :m] @ Qp`` with the
-    residual vector ``V[:, m]`` carried to column p (reference
-    ``krylov_schur.py:74-81`` — "not a typo") and stale columns zeroed so the
+def _truncate_basis(Vt, Qp, *, p, m):
+    """Device-side basis truncation in the transposed layout:
+    ``Vt[:p, :] = Qp^T @ Vt[:m, :]`` (i.e. ``V[:, :p] = V[:, :m] @ Qp``) with
+    the residual vector row ``Vt[m]`` carried to row p (reference
+    ``krylov_schur.py:74-81`` — "not a typo") and stale rows zeroed so the
     masked orthogonalization never sees them."""
-    n, mp1 = V.shape
-    head = jnp.matmul(V[:, :m], Qp, precision=jax.lax.Precision.HIGHEST)
-    carry = V[:, m][:, None]                  # residual vector
-    tail = jnp.zeros((n, mp1 - p - 1), V.dtype)
-    return jnp.concatenate([head, carry, tail], axis=1)
+    mp1, n = Vt.shape
+    head = jnp.matmul(Qp.T, Vt[:m, :], precision=jax.lax.Precision.HIGHEST)
+    carry = Vt[m, :][None, :]                 # residual vector
+    tail = jnp.zeros((mp1 - p - 1, n), Vt.dtype)
+    return jnp.concatenate([head, carry, tail], axis=0)
 
 
 @partial(jax.jit, static_argnames=("p", "m", "max_dim", "ortho"))
-def _truncate_and_expand(op, V, Qp, H_new, invariant_tol, *, p, m, max_dim,
+def _truncate_and_expand(op, Vt, Qp, H_new, invariant_tol, *, p, m, max_dim,
                          ortho):
     """Fused restart step: truncation tall-matmul + the next Arnoldi
     expansion in ONE device dispatch.  Host-device round-trips cost
@@ -61,8 +62,8 @@ def _truncate_and_expand(op, V, Qp, H_new, invariant_tol, *, p, m, max_dim,
     download (H) per restart."""
     from .decomposition import _expand_jit
 
-    V = _truncate_basis(V, Qp, p=p, m=m)
-    return _expand_jit(op, V, H_new, invariant_tol, start_dim=p,
+    Vt = _truncate_basis(Vt, Qp, p=p, m=m)
+    return _expand_jit(op, Vt, H_new, invariant_tol, start_dim=p,
                        max_dim=max_dim, ortho=ortho)
 
 
@@ -183,7 +184,9 @@ def partial_schur(
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
-    V = jnp.zeros((n_solve, max_dim + 1), dtype=wdtype)
+    # Transposed workspace: basis vectors are contiguous rows (the
+    # reference's F-order lever, ~1.8x per-iteration on TPU).
+    V = jnp.zeros((max_dim + 1, n_solve), dtype=wdtype)
     H = jnp.zeros((max_dim + 1, max_dim), dtype=wdtype)
 
     if mesh is not None:
@@ -201,7 +204,7 @@ def partial_schur(
         v0 = v0 / jnp.linalg.norm(v0)
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
-    V = V.at[:, 0].set(v0)
+    V = V.at[0, :].set(v0)
 
     history = History.from_k(nev)
     has_converged = False
@@ -224,9 +227,9 @@ def partial_schur(
         from ..utils.checkpoint import load_checkpoint
 
         ck = load_checkpoint(checkpoint_path)
-        assert ck.V.shape == (n_solve, max_dim + 1), (
+        assert ck.V.shape == (max_dim + 1, n_solve), (
             f"checkpoint shape {ck.V.shape} does not match workspace "
-            f"{(n_solve, max_dim + 1)}")
+            f"{(max_dim + 1, n_solve)}")
         V = jnp.asarray(ck.V.astype(wdtype))
         H = jnp.asarray(ck.H_hp.astype(wdtype))
         if mesh is not None:
@@ -391,7 +394,7 @@ def partial_schur(
     if not has_converged:
         raise ValueError("Has not converged !")
 
-    schur_vecs = V[:n, :nev_ret]
+    schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
     schur_mat = jnp.asarray(H_new[:nev_ret, :nev_ret].astype(wdtype))
 
     # Note: same ordering contract as the reference — Schur form ordered by

@@ -57,7 +57,7 @@ import functools  # noqa: E402
 @functools.lru_cache(maxsize=None)
 def _selective_cache(n_locked):
     def kernel(V, w, n_active, *, tol=1e-8, eta=M_SQRT1_2):
-        mp1 = V.shape[1]
+        mp1 = V.shape[0]  # transposed layout: rows are basis vectors
         idx = jnp.arange(mp1)
         mask = (
             (idx < n_locked) | (idx == n_active - 1) | (idx == n_active - 2)
@@ -65,8 +65,8 @@ def _selective_cache(n_locked):
         mask = mask.astype(V.dtype)
 
         beta_before = jnp.linalg.norm(w)
-        c1 = jnp.matmul(V.conj().T, w, precision=lax.Precision.HIGHEST) * mask
-        w1 = w - jnp.matmul(V, c1, precision=lax.Precision.HIGHEST)
+        c1 = jnp.matmul(V.conj(), w, precision=lax.Precision.HIGHEST) * mask
+        w1 = w - jnp.matmul(c1, V, precision=lax.Precision.HIGHEST)
         beta1 = jnp.linalg.norm(w1)
 
         def full_pass(args):
@@ -168,7 +168,7 @@ def partial_eigh(
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
-    V = jnp.zeros((n_solve, max_dim + 1), dtype=wdtype)
+    V = jnp.zeros((max_dim + 1, n_solve), dtype=wdtype)
     H = jnp.zeros((max_dim + 1, max_dim), dtype=wdtype)
 
     if mesh is not None:
@@ -186,7 +186,7 @@ def partial_eigh(
         v0 = v0 / jnp.linalg.norm(v0)
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
-    V = V.at[:, 0].set(v0)
+    V = V.at[0, :].set(v0)
 
     history = History.from_k(nev)
     has_converged = False
@@ -273,5 +273,5 @@ def partial_eigh(
         raise ValueError("Has not converged !")
 
     eigenvalues = np.real(theta_final[:nev])
-    eigenvectors = V[:n, :nev]
+    eigenvectors = V[:nev, :n].T
     return eigenvalues, eigenvectors, history

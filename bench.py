@@ -72,8 +72,8 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3):
     tolv = np.sqrt(np.finfo(dtype).eps)
 
     def one_cycle(v0):
-        V = jnp.zeros((n, max_dim + 1), dtype).at[:, 0].set(v0)
-        return _expand_jit(op, V, H, tolv, start_dim=0, max_dim=max_dim,
+        Vt = jnp.zeros((max_dim + 1, n), dtype).at[0, :].set(v0)
+        return _expand_jit(op, Vt, H, tolv, start_dim=0, max_dim=max_dim,
                            ortho="cgs2")
 
     v0 = rand_normalized_vector(jax.random.key(0), n, dtype)
@@ -82,9 +82,8 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3):
 
     t0 = time.perf_counter()
     for _ in range(cycles):
-        # chain: next start vector derived from this cycle's last column
-        v0 = V2[:, max_dim] + jnp.float32(1e-3) * V2[:, 0] if on_tpu \
-            else V2[:, max_dim] + 1e-3 * V2[:, 0]
+        # chain: next start vector derived from this cycle's last row
+        v0 = V2[max_dim, :] + jnp.asarray(1e-3, dtype) * V2[0, :]
         v0 = v0 / jnp.linalg.norm(v0)
         V2, _, _ = one_cycle(v0)
     jax.block_until_ready(V2)

@@ -82,6 +82,7 @@ class TestArnoldiExpand:
         n, m, k = 30, 12, 5
         A = random_spd_ish(n)
         V0, H0 = fresh_workspace(n, m, seed=3)
+        V0 = V0.T  # arnoldi_expand uses the transposed layout
 
         V_full, H_full, it_full = arnoldi_expand(A, V0, H0, ATOL)
         V_a, H_a, it_a = arnoldi_expand(A, V0, H0, ATOL, max_dim=k)
@@ -114,9 +115,9 @@ class TestEigenValues:
         k = 2
 
         V, H = fresh_workspace(n, m, seed=2)
-        V, H, n_iter = arnoldi_expand(A, V, H)
+        V, H, n_iter = arnoldi_expand(A, V.T, H)
 
-        ritz = RitzDecomposition.from_v_and_h(V, H, k, max_dim=int(n_iter))
+        ritz = RitzDecomposition.from_vt_and_h(V, H, k, max_dim=int(n_iter))
 
         val = ritz.values[0]
         vec = np.asarray(ritz.vectors[:, 0])
@@ -128,9 +129,9 @@ class TestRitzDecomposition:
     def compute_ritz(self, A, m, k, sort_function=None, seed=11):
         n = A.shape[0]
         V, H = fresh_workspace(n, m, seed=seed)
-        V, H, n_iter = arnoldi_expand(A, V, H)
-        return RitzDecomposition.from_v_and_h(
-            V, H, k, max_dim=int(n_iter), sort_function=sort_function
+        Vt, H, n_iter = arnoldi_expand(A, V.T, H)
+        return RitzDecomposition.from_vt_and_h(
+            Vt, H, k, max_dim=int(n_iter), sort_function=sort_function
         )
 
     @pytest.mark.parametrize(
@@ -176,10 +177,10 @@ class TestRitzDecomposition:
         max_dim = m - 5
 
         V, H = fresh_workspace(n, m, seed=4)
-        V, H, n_iter = arnoldi_expand(A, V, H)
+        Vt, H, n_iter = arnoldi_expand(A, V.T, H)
 
         rng = np.random.default_rng(0)
-        V_noisy = np.array(V)
+        V_noisy = np.array(Vt).T  # back to reference orientation
         H_noisy = np.array(H)
         V_noisy[:, max_dim:] = rng.standard_normal(V_noisy[:, max_dim:].shape)
         H_noisy[max_dim + 1 :, max_dim:] = rng.standard_normal(

@@ -12,14 +12,14 @@ KERNELS = [cgs_dgks, mgs_dgks]
 
 
 def make_basis(rng, n, j, mp1, dtype=np.complex128):
-    """Random orthonormal basis in the first j columns of an (n, mp1)
-    workspace; the remaining columns filled with noise that MUST be
+    """Random orthonormal basis in the first j ROWS of an (mp1, n)
+    transposed workspace; the remaining rows filled with noise that MUST be
     masked out by the kernels."""
     M = rng.standard_normal((n, j)) + 1j * rng.standard_normal((n, j))
     Q, _ = np.linalg.qr(M)
-    V = rng.standard_normal((n, mp1)) + 1j * rng.standard_normal((n, mp1))
-    V[:, :j] = Q
-    return jnp.asarray(V.astype(dtype))
+    Vt = rng.standard_normal((mp1, n)) + 1j * rng.standard_normal((mp1, n))
+    Vt[:j, :] = Q.T
+    return jnp.asarray(Vt.astype(dtype))
 
 
 @pytest.mark.parametrize("kernel", KERNELS)
@@ -30,13 +30,13 @@ def test_orthogonalizes(kernel, rng):
 
     h, w2, beta, breakdown = kernel(V, w, j, tol=1e-12)
 
-    # w2 orthogonal to the active columns
-    proj = np.asarray(V[:, :j]).conj().T @ np.asarray(w2)
+    # w2 orthogonal to the active rows
+    proj = np.asarray(V[:j, :]).conj() @ np.asarray(w2)
     np.testing.assert_allclose(proj, 0, atol=1e-10)
     # inactive coefficient slots untouched (masked)
     np.testing.assert_allclose(np.asarray(h)[j:], 0, atol=0)
-    # reconstruction: w = V h + w2
-    recon = np.asarray(V[:, :j]) @ np.asarray(h)[:j] + np.asarray(w2)
+    # reconstruction: w = h @ Vt + w2
+    recon = np.asarray(h)[:j] @ np.asarray(V[:j, :]) + np.asarray(w2)
     np.testing.assert_allclose(recon, np.asarray(w), atol=1e-10)
     assert not bool(breakdown)
     assert abs(float(beta) - np.linalg.norm(np.asarray(w2))) < 1e-10
@@ -48,7 +48,7 @@ def test_breakdown_in_span(kernel, rng):
     V = make_basis(rng, n, j, mp1)
     # w in the span of the active basis -> breakdown
     coeffs = jnp.asarray(rng.standard_normal(j) + 1j * rng.standard_normal(j))
-    w = V[:, :j] @ coeffs
+    w = coeffs @ V[:j, :]
 
     h, w2, beta, breakdown = kernel(V, w, j, tol=1e-8)
     assert bool(breakdown)
@@ -64,11 +64,11 @@ def test_dgks_second_pass_restores_orthogonality(kernel, rng):
     V = make_basis(rng, n, j, mp1)
     noise = rng.standard_normal(n) + 1j * rng.standard_normal(n)
     coeffs = rng.standard_normal(j) + 1j * rng.standard_normal(j)
-    w = V[:, :j] @ jnp.asarray(coeffs) + 1e-10 * jnp.asarray(noise)
+    w = jnp.asarray(coeffs) @ V[:j, :] + 1e-10 * jnp.asarray(noise)
 
     h, w2, beta, breakdown = kernel(V, w, j, tol=1e-14)
     assert not bool(breakdown)
-    proj = np.asarray(V[:, :j]).conj().T @ np.asarray(w2)
+    proj = np.asarray(V[:j, :]).conj() @ np.asarray(w2)
     # Relative orthogonality of the surviving component
     np.testing.assert_allclose(proj / float(beta), 0, atol=1e-8)
 
@@ -77,10 +77,10 @@ def test_real_dtype(rng):
     n, j, mp1 = 30, 5, 8
     M = rng.standard_normal((n, j))
     Q, _ = np.linalg.qr(M)
-    V = np.zeros((n, mp1))
-    V[:, :j] = Q
+    Vt = np.zeros((mp1, n))
+    Vt[:j, :] = Q.T
     w = rng.standard_normal(n)
-    h, w2, beta, breakdown = cgs_dgks(jnp.asarray(V), jnp.asarray(w), j, tol=1e-12)
+    h, w2, beta, breakdown = cgs_dgks(jnp.asarray(Vt), jnp.asarray(w), j, tol=1e-12)
     proj = Q.T @ np.asarray(w2)
     np.testing.assert_allclose(proj, 0, atol=1e-12)
 
@@ -91,5 +91,5 @@ def test_registry_variants(rng):
     w = jnp.asarray(rng.standard_normal(n) + 0j)
     for name in ("cgs", "cgs2", "mgs", "cgs_dgks", "mgs_dgks"):
         h, w2, beta, breakdown = ORTHO_KERNELS[name](V, w, j, tol=1e-12)
-        proj = np.asarray(V[:, :j]).conj().T @ np.asarray(w2)
+        proj = np.asarray(V[:j, :]).conj() @ np.asarray(w2)
         np.testing.assert_allclose(proj, 0, atol=1e-8)

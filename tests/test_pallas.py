@@ -45,27 +45,27 @@ class TestOrthoFusedPallas:
     def setup_method(self, method):
         rng = np.random.default_rng(7)
         self.n, self.mp1, self.j = 900, 21, 12
-        V = np.zeros((self.n, self.mp1), np.float32)
-        V[:, : self.j] = np.linalg.qr(
-            rng.standard_normal((self.n, self.j)))[0]
-        # stale noise beyond the active columns must be masked out
-        V[:, self.j :] = rng.standard_normal((self.n, self.mp1 - self.j))
-        self.V = jnp.asarray(V)
+        Vt = np.zeros((self.mp1, self.n), np.float32)
+        Vt[: self.j, :] = np.linalg.qr(
+            rng.standard_normal((self.n, self.j)))[0].T
+        # stale noise beyond the active rows must be masked out
+        Vt[self.j :, :] = rng.standard_normal((self.mp1 - self.j, self.n))
+        self.V = jnp.asarray(Vt)
         self.w = jnp.asarray(rng.standard_normal(self.n).astype(np.float32))
 
     def test_masked_project(self):
         mask = (jnp.arange(self.mp1) < self.j).astype(jnp.float32)
         c = np.asarray(masked_project_pallas(self.V, self.w, mask,
-                                             interpret=True, block_rows=256))
-        c_ref = np.asarray(self.V).T @ np.asarray(self.w)
+                                             interpret=True, block_cols=256))
+        c_ref = np.asarray(self.V) @ np.asarray(self.w)
         c_ref[self.j :] = 0
         np.testing.assert_allclose(c, c_ref, atol=1e-4)
 
     def test_project_update_norm(self):
         c = jnp.zeros(self.mp1, jnp.float32).at[: self.j].set(0.5)
         w2, ns = project_update_norm_pallas(self.V, self.w, c,
-                                            interpret=True, block_rows=256)
-        w2_ref = np.asarray(self.w) - np.asarray(self.V) @ np.asarray(c)
+                                            interpret=True, block_cols=256)
+        w2_ref = np.asarray(self.w) - np.asarray(c) @ np.asarray(self.V)
         np.testing.assert_allclose(np.asarray(w2), w2_ref, atol=1e-5)
         np.testing.assert_allclose(
             float(ns), float(np.sum(w2_ref.astype(np.float64) ** 2)),
@@ -81,5 +81,5 @@ class TestOrthoFusedPallas:
         assert abs(float(beta) - float(b0)) < 1e-5
         assert bool(br) == bool(br0)
         # orthogonality of the result
-        proj = np.asarray(self.V[:, : self.j]).T @ np.asarray(w2)
+        proj = np.asarray(self.V[: self.j, :]) @ np.asarray(w2)
         np.testing.assert_allclose(proj, 0, atol=1e-4)

@@ -55,9 +55,9 @@ def test_sharded_matvec_banded(mesh):
 
 
 def test_shard_workspace(mesh):
-    V = jnp.zeros((1280, 21))
+    Vt = jnp.zeros((21, 1280))  # transposed layout: vectors are rows
     H = jnp.zeros((21, 20))
-    Vs, Hs = shard_workspace(V, H, mesh)
+    Vs, Hs = shard_workspace(Vt, H, mesh)
     assert len(Vs.sharding.device_set) == 8
     # H replicated
     assert Hs.sharding.is_fully_replicated
