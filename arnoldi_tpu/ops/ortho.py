@@ -139,6 +139,75 @@ def mgs_dgks(Vt, w, n_active, *, tol=1e-8, eta=M_SQRT1_2):
     return h, w2, beta, beta < tol
 
 
+def block_cgs2(Vt, W, n_active, *, tol=1e-8):
+    """Block classical Gram-Schmidt (two passes) + CholQR2 intra-block
+    orthonormalization.
+
+    Orthogonalizes the b row-vectors of ``W`` against the first ``n_active``
+    rows of ``Vt`` with TWO block projections (each one gemm pair — the
+    communication-avoiding structure from the two-stage block
+    orthogonalization literature), then orthonormalizes within the block by
+    Cholesky-QR applied twice ("CholQR2"), which is entirely gemm/chol on
+    tiny b x b matrices — the MXU-friendly replacement for column-at-a-time
+    Householder.
+
+    Parameters
+    ----------
+    Vt : (m+b, n) transposed basis workspace.
+    W : (b, n) block to orthogonalize (rows are vectors).
+    n_active : traced int — valid leading rows of ``Vt``.
+
+    Returns
+    -------
+    C : (m+b, b) projection coefficients (both passes summed; column j are
+        the coefficients of W's j-th vector against the basis).
+    Q : (b, n) orthonormalized block.
+    R : (b, b) upper-triangular intra-block coupling (W_proj = R^T-stacked:
+        in column convention ``W_cols = Q_cols @ R``).
+    breakdown : bool scalar — the block was (numerically) rank deficient.
+    """
+    from jax.scipy.linalg import cholesky, solve_triangular
+
+    mp = Vt.shape[0]
+    b = W.shape[0]
+    mask = _row_mask(mp, n_active, Vt.dtype)[:, None]
+
+    def project(W):
+        C = jnp.matmul(Vt.conj(), W.T, precision=_PREC) * mask  # (mp, b)
+        return C, W - jnp.matmul(C.T, Vt, precision=_PREC)
+
+    C1, W = project(W)
+    C2, W = project(W)
+    C = C1 + C2
+
+    eps = jnp.finfo(Vt.dtype).eps
+
+    def cholqr(W):
+        G = jnp.matmul(W, W.conj().T, precision=_PREC)  # (b, b)
+        # Regularize so cholesky never NaNs on a rank-deficient block; the
+        # breakdown flag is raised from the diagonal magnitude instead.
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))), 1.0)
+        L = cholesky(G + (eps * scale) * jnp.eye(b, dtype=Vt.dtype),
+                     lower=True)
+        Q = solve_triangular(L, W, lower=True)
+        return Q, L
+
+    Q, L1 = cholqr(W)
+    Q, L2 = cholqr(Q)  # CholQR2: second pass restores orthonormality
+    # Row convention: W_proj = (L1 L2) Q, i.e. W_cols = Q_cols (L1 L2)^T —
+    # a plain transpose (no conjugation) even for complex blocks.
+    R = jnp.matmul(L1, L2, precision=_PREC).T  # upper (b, b)
+
+    diag = jnp.abs(jnp.diagonal(L1))
+    # Rank deficiency: a diagonal entry collapsed either below the absolute
+    # tolerance or relative to the block's own scale (the chol
+    # regularization floors it near sqrt(eps * scale), so the relative test
+    # is what actually detects dependent directions).
+    rel_floor = 10.0 * jnp.sqrt(eps) * jnp.max(diag)
+    breakdown = jnp.min(diag) < jnp.maximum(tol, rel_floor)
+    return C, Q, R, breakdown
+
+
 #: Registry used by solver drivers ("ortho" kwarg).
 ORTHO_KERNELS = {
     "cgs_dgks": cgs_dgks,

@@ -52,11 +52,11 @@ def banded_matvec_pallas(bands, x, offsets, *, interpret=False,
 
     def kernel(b_ref, x_ref, o_ref):
         i = pl.program_id(0)
-        base = pl.multiple_of(i * block, block) + halo_pad
+        base = i * block + halo_pad
         acc = jnp.zeros((1, block), dtype=out_dtype)
         for d, off in enumerate(offsets):
-            seg = x_ref[:, pl.ds(base + off, block)]
-            acc = acc + b_ref[d, :].reshape(1, block) * seg
+            seg = x_ref[:, pl.ds(base + int(off), block)]
+            acc = acc + b_ref[d:d + 1, :] * seg
         o_ref[:, :] = acc
 
     y = pl.pallas_call(

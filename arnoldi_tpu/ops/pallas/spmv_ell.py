@@ -39,7 +39,14 @@ def ell_matvec_pallas(data, cols, x, *, interpret=False, block_rows=4096):
     grid = (n_pad // block,)
 
     def kernel(d_ref, c_ref, x_ref, o_ref):
-        gathered = jnp.take(x_ref[0, :], c_ref[:, :], axis=0)  # (block, L)
+        # Mosaic supports 2-D gathers: gather from the (1, n) operand with a
+        # flat index vector, then reshape back to the (block, L) tile.
+        flat_idx = c_ref[:, :].reshape(1, block * L)
+        g = jnp.take_along_axis(
+            jnp.broadcast_to(x_ref[:, :], (1, x_ref.shape[1])),
+            flat_idx, axis=1,
+        )  # (1, block*L)
+        gathered = g.reshape(block, L)
         o_ref[:, 0] = jnp.sum(
             d_ref[:, :].astype(out_dtype) * gathered.astype(out_dtype),
             axis=1,

@@ -80,6 +80,51 @@ def _expand_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
     return Vt, H, j
 
 
+@partial(jax.jit, static_argnames=("start_block", "n_blocks", "b"))
+def _block_expand_jit(op, Vt, H, invariant_tol, *, start_block, n_blocks, b):
+    """Block Arnoldi expansion: process ``b`` vectors per step with one
+    operator matmat + one :func:`arnoldi_tpu.ops.ortho.block_cgs2` (two gemm
+    projections + CholQR2).  Workspace ``Vt: (n_blocks*b + b, n)``,
+    ``H: (n_blocks*b + b, n_blocks*b)``.  Block ``j`` occupies rows
+    ``j*b..(j+1)*b``; on entry the block at ``start_block`` must hold
+    orthonormal start vectors.  Returns ``(Vt, H, n_done_blocks)``.
+    """
+    from ..ops.ortho import block_cgs2
+
+    mpb = Vt.shape[0]
+
+    def cond_fn(state):
+        Vt, H, j, done = state
+        return jnp.logical_and(j < n_blocks, jnp.logical_not(done))
+
+    def body_fn(state):
+        Vt, H, j, _ = state
+        V_block = lax.dynamic_slice_in_dim(Vt, j * b, b, axis=0)  # (b, n)
+        W = op.matmat(V_block.T).T.astype(Vt.dtype)
+        C, Q, R, breakdown = block_cgs2(Vt, W, (j + 1) * b,
+                                        tol=invariant_tol)
+        # Column block j of H: projections C plus the intra-block coupling R
+        # at rows (j+1)b..(j+2)b (zeroed on breakdown, like the scalar path).
+        row_ids = jnp.arange(mpb)[:, None]
+        in_R = (row_ids >= (j + 1) * b) & (row_ids < (j + 2) * b)
+        R_embedded = jnp.zeros((mpb, b), Vt.dtype)
+        R_embedded = lax.dynamic_update_slice(R_embedded, R, ((j + 1) * b, 0))
+        col_block = jnp.where(
+            in_R, jnp.where(breakdown, jnp.zeros_like(R_embedded), R_embedded),
+            C,
+        )
+        H = lax.dynamic_update_slice(H, col_block, (0, j * b))
+        Q_write = jnp.where(breakdown, jnp.zeros_like(Q), Q)
+        Vt = lax.dynamic_update_slice(Vt, Q_write, ((j + 1) * b, 0))
+        return Vt, H, j + 1, breakdown
+
+    Vt, H, j, _ = lax.while_loop(
+        cond_fn, body_fn,
+        (Vt, H, jnp.asarray(start_block), jnp.asarray(False)),
+    )
+    return Vt, H, j
+
+
 def arnoldi_expand(A, Vt, H, invariant_tol=None, *, start_dim=0, max_dim=None,
                    ortho="cgs_dgks"):
     """Extend the Arnoldi factorization ``(Vt, H)`` of ``A``.

@@ -38,18 +38,19 @@ from ..utils.sorting import arg_largest_magnitude
 from .decomposition import arnoldi_expand, default_invariant_tol
 
 
-@partial(jax.jit, static_argnames=("p", "m"))
-def _truncate_basis(Vt, Qp, *, p, m):
+@partial(jax.jit, static_argnames=("p", "m", "carry"))
+def _truncate_basis(Vt, Qp, *, p, m, carry=1):
     """Device-side basis truncation in the transposed layout:
     ``Vt[:p, :] = Qp^T @ Vt[:m, :]`` (i.e. ``V[:, :p] = V[:, :m] @ Qp``) with
-    the residual vector row ``Vt[m]`` carried to row p (reference
-    ``krylov_schur.py:74-81`` — "not a typo") and stale rows zeroed so the
-    masked orthogonalization never sees them."""
-    mp1, n = Vt.shape
+    the ``carry`` residual rows ``Vt[m:m+carry]`` carried to rows p..p+carry
+    (reference ``krylov_schur.py:74-81`` — "not a typo"; ``carry`` is the
+    block size for block drivers) and stale rows zeroed so the masked
+    orthogonalization never sees them."""
+    mpb, n = Vt.shape
     head = jnp.matmul(Qp.T, Vt[:m, :], precision=jax.lax.Precision.HIGHEST)
-    carry = Vt[m, :][None, :]                 # residual vector
-    tail = jnp.zeros((mp1 - p - 1, n), Vt.dtype)
-    return jnp.concatenate([head, carry, tail], axis=0)
+    carry_rows = Vt[m : m + carry, :]         # residual vector(s)
+    tail = jnp.zeros((mpb - p - carry, n), Vt.dtype)
+    return jnp.concatenate([head, carry_rows, tail], axis=0)
 
 
 @partial(jax.jit, static_argnames=("p", "m", "max_dim", "ortho"))

@@ -118,6 +118,7 @@ def partial_eigh(
     key=None,
     v0=None,
     mesh=None,
+    block_size=1,
 ):
     """Compute ``nev`` extremal eigenpairs of a HERMITIAN operator by
     thick-restart Lanczos.
@@ -125,6 +126,13 @@ def partial_eigh(
     Parameters mirror :func:`arnoldi_tpu.partial_schur`; ``which`` is one of
     "LA", "SA", "LM", "SM".  ``ortho="selective"`` uses the 3-term-recurrence
     kernel with DGKS-triggered full reorthogonalization.
+
+    ``block_size=b > 1`` runs BLOCK thick-restart Lanczos: each step applies
+    the operator to b vectors at once (matmat) and orthogonalizes them with
+    two block-gemm projections + CholQR2.  This both finds eigenvalues of
+    multiplicity up to b (a single-vector Krylov space provably cannot) and
+    amortizes every pass over the basis across b matvecs — the
+    communication-avoiding structure that suits the MXU.
 
     Returns ``(eigenvalues, eigenvectors, history)`` — eigenvalues are real,
     ascending-sorted within the wanted set; eigenvectors are the (real if A
@@ -139,10 +147,20 @@ def partial_eigh(
     sort_function = _sym_sort(which)
     assert max_restarts > 0
 
+    b = int(block_size)
+    assert b >= 1
     if max_dim is None:
         max_dim = min(max(2 * nev + 1, 20), n)
-    p = min(nev + 5, max_dim - 1)
-    assert nev <= p < max_dim
+    if b > 1:
+        # Block driver: dimensions snap to whole blocks.
+        max_dim = -(-max_dim // b) * b
+        p = min(-(-(nev + max(5, b)) // b) * b, max_dim - b)
+        assert nev <= p < max_dim, (
+            f"block geometry failed: nev={nev}, p={p}, max_dim={max_dim}, "
+            f"b={b}; increase max_dim")
+    else:
+        p = min(nev + 5, max_dim - 1)
+        assert nev <= p < max_dim
     assert max_dim <= n
 
     # Hermitian problems keep the dtype real for real operators everywhere
@@ -168,8 +186,8 @@ def partial_eigh(
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
-    V = jnp.zeros((max_dim + 1, n_solve), dtype=wdtype)
-    H = jnp.zeros((max_dim + 1, max_dim), dtype=wdtype)
+    V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
+    H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
 
     if mesh is not None:
         from ..parallel.sharded import shard_operator, shard_workspace
@@ -187,14 +205,31 @@ def partial_eigh(
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
     V = V.at[0, :].set(v0)
+    if b > 1:
+        # Fill the rest of the start block with random vectors and
+        # orthonormalize the block (CholQR keeps row 0 parallel to v0).
+        from ..ops.ortho import block_cgs2
+
+        key2 = jax.random.key(0) if key is None else jax.random.split(key)[1]
+        extra = jax.random.normal(key2, (b - 1, n_solve), dtype=wdtype)
+        W0 = jnp.concatenate([v0[None, :], extra], axis=0)
+        _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
+        V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
 
     history = History.from_k(nev)
     has_converged = False
     total_matvecs = 0
 
-    V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=0,
-                                  max_dim=max_dim, ortho=ortho)
-    m = int(n_iter)
+    if b > 1:
+        from .decomposition import _block_expand_jit
+
+        V, H, jb = _block_expand_jit(op, V, H, tol, start_block=0,
+                                     n_blocks=max_dim // b, b=b)
+        m = int(jb) * b
+    else:
+        V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=0,
+                                      max_dim=max_dim, ortho=ortho)
+        m = int(n_iter)
     total_matvecs += m
 
     hp = np.float64 if not np.issubdtype(np.dtype(wdtype), np.complexfloating) \
@@ -211,7 +246,7 @@ def partial_eigh(
 
         H_host = np.asarray(H).astype(hp)
         if H_trunc_hp is not None:
-            H_host[: prev_pa + 1, :prev_pa] = H_trunc_hp
+            H_host[: prev_pa + b, :prev_pa] = H_trunc_hp
         H_active = H_host[:m, :m]
 
         # Rayleigh-Ritz on the symmetric projected matrix (symmetrize to
@@ -223,18 +258,24 @@ def partial_eigh(
         S = S[:, order]
 
         pa = min(p, m) if happy_breakdown else p
+        if b > 1:
+            pa = min(-(-pa // b) * b, m)
         Sp = S[:, :pa]
 
-        V = _truncate_basis(V, jnp.asarray(Sp, dtype=wdtype), p=pa, m=m)
+        V = _truncate_basis(V, jnp.asarray(Sp, dtype=wdtype), p=pa, m=m,
+                            carry=b)
 
         H_new = np.zeros_like(H_host)
         H_new[np.arange(pa), np.arange(pa)] = theta[:pa]
-        H_new[pa, :pa] = H_host[m, :m] @ Sp  # arrowhead coupling row
-        H_trunc_hp = H_new[: pa + 1, :pa].copy()
+        # Coupling block: the residual block's projections rotated by Sp
+        # (for b == 1 this is the classic arrowhead row).
+        H_new[pa : pa + b, :pa] = H_host[m : m + b, :m] @ Sp
+        H_trunc_hp = H_new[: pa + b, :pa].copy()
         prev_pa = pa
 
-        coupling = np.abs(H_host[m, m - 1])
-        approximate_residuals = coupling * np.abs(S[m - 1, :])
+        # Approximate residuals: || B S[last-b rows, i] || per Ritz pair.
+        coupling_block = H_host[m : m + b, :m]
+        approximate_residuals = np.linalg.norm(coupling_block @ S, axis=0)
         denom = np.abs(theta)
         denom = np.where(denom == 0, 1.0, denom)
         approximate_convergence = approximate_residuals / denom
@@ -258,13 +299,21 @@ def partial_eigh(
         H = jnp.asarray(H_new.astype(wdtype))
         if repl is not None:
             H = jax.device_put(H, repl)
-        if selective:
-            # After a thick restart the leading pa+1 columns are the
-            # compressed Ritz block; new vectors must stay orthogonal to it.
-            ortho = make_lanczos_selective_ortho(pa + 1)
-        V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=pa,
-                                      max_dim=max_dim, ortho=ortho)
-        m_new = int(n_iter)
+        if b > 1:
+            from .decomposition import _block_expand_jit
+
+            V, H, jb = _block_expand_jit(op, V, H, tol, start_block=pa // b,
+                                         n_blocks=max_dim // b, b=b)
+            m_new = int(jb) * b
+        else:
+            if selective:
+                # After a thick restart the leading pa+1 rows are the
+                # compressed Ritz block; new vectors must stay orthogonal
+                # to it.
+                ortho = make_lanczos_selective_ortho(pa + 1)
+            V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=pa,
+                                          max_dim=max_dim, ortho=ortho)
+            m_new = int(n_iter)
         total_matvecs += m_new - pa
         m = m_new
 

@@ -112,7 +112,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None, maxiter=1000,
 
 def eigsh(A, k=6, *, which="LA", sigma=None, tol=None, ncv=None,
           maxiter=1000, dtype=None, key=None, return_eigenvectors=True,
-          inner_solver="cg", inner_tol=None):
+          inner_solver="cg", inner_tol=None, block_size=1):
     """scipy.sparse.linalg.eigsh-compatible driver on the thick-restart
     Lanczos core (Hermitian A)."""
     from .lanczos import partial_eigh
@@ -127,6 +127,7 @@ def eigsh(A, k=6, *, which="LA", sigma=None, tol=None, ncv=None,
         theta, vecs, hist = partial_eigh(
             solve_op, k, which="LM", max_dim=ncv, stopping_criterion=tol,
             max_restarts=maxiter, dtype=dtype, key=key,
+            block_size=block_size,
         )
         vals = _transform_back(theta, sigma)
         order = np.argsort(vals)
@@ -136,6 +137,7 @@ def eigsh(A, k=6, *, which="LA", sigma=None, tol=None, ncv=None,
         vals, vecs, hist = partial_eigh(
             op, k, which=which, max_dim=ncv, stopping_criterion=tol,
             max_restarts=maxiter, dtype=dtype, key=key,
+            block_size=block_size,
         )
     if return_eigenvectors:
         return np.asarray(vals), np.asarray(vecs)
