@@ -104,19 +104,23 @@ def _block_expand_jit(op, Vt, H, invariant_tol, *, start_block, n_blocks, b):
         C, Q, R, breakdown = block_cgs2(Vt, W, (j + 1) * b,
                                         tol=invariant_tol)
         # Column block j of H: projections C plus the intra-block coupling R
-        # at rows (j+1)b..(j+2)b (zeroed on breakdown, like the scalar path).
+        # at rows (j+1)b..(j+2)b.  A rank-deficient block cannot be split
+        # into "converged" directions like the scalar case (some residual
+        # directions are genuinely nonzero), so on breakdown the block is
+        # EXCLUDED: nothing is written and the factorization stays valid up
+        # to j*b vectors.
         row_ids = jnp.arange(mpb)[:, None]
         in_R = (row_ids >= (j + 1) * b) & (row_ids < (j + 2) * b)
         R_embedded = jnp.zeros((mpb, b), Vt.dtype)
         R_embedded = lax.dynamic_update_slice(R_embedded, R, ((j + 1) * b, 0))
-        col_block = jnp.where(
-            in_R, jnp.where(breakdown, jnp.zeros_like(R_embedded), R_embedded),
-            C,
-        )
-        H = lax.dynamic_update_slice(H, col_block, (0, j * b))
-        Q_write = jnp.where(breakdown, jnp.zeros_like(Q), Q)
-        Vt = lax.dynamic_update_slice(Vt, Q_write, ((j + 1) * b, 0))
-        return Vt, H, j + 1, breakdown
+        col_block = jnp.where(in_R, R_embedded, C)
+        old_cols = lax.dynamic_slice(H, (0, j * b), (mpb, b))
+        H = lax.dynamic_update_slice(
+            H, jnp.where(breakdown, old_cols, col_block), (0, j * b))
+        old_rows = lax.dynamic_slice(Vt, ((j + 1) * b, 0), (b, Vt.shape[1]))
+        Vt = lax.dynamic_update_slice(
+            Vt, jnp.where(breakdown, old_rows, Q), ((j + 1) * b, 0))
+        return Vt, H, jnp.where(breakdown, j, j + 1), breakdown
 
     Vt, H, j, _ = lax.while_loop(
         cond_fn, body_fn,

@@ -105,6 +105,7 @@ def partial_schur(
     checkpoint_path=None,
     checkpoint_every=1,
     resume=False,
+    block_size=1,
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -139,6 +140,10 @@ def partial_schur(
         ``checkpoint_every`` restarts.
     resume : if True and ``checkpoint_path`` exists, continue from it
         (the solver state is exactly ``(V, H, p)`` — SURVEY §5).
+    block_size : ``b > 1`` runs BLOCK Krylov-Schur — the operator is applied
+        to b vectors per step (matmat) with two block-gemm projections +
+        CholQR2 intra-block orthogonalization. Finds eigenvalues of
+        multiplicity up to b and amortizes basis passes across b matvecs.
 
     Returns
     -------
@@ -162,11 +167,24 @@ def partial_schur(
         sort_function = sort_function_for(sort_function)
     assert max_restarts > 0
 
+    b = int(block_size)
+    assert b >= 1
     if max_dim is None:
         max_dim = min(max(2 * nev + 1, 20), n)
-    if p is None:
-        p = min(nev + 5, max_dim - 1)
-    assert nev <= p < max_dim, f"need nev <= p < max_dim, got {nev}, {p}, {max_dim}"
+    if b > 1:
+        max_dim = -(-max_dim // b) * b
+        if p is None:
+            p = min(-(-(nev + max(5, b)) // b) * b, max_dim - b)
+        assert p % b == 0, "p must be a multiple of block_size"
+        assert nev <= p < max_dim, (
+            f"block geometry failed: nev={nev}, p={p}, max_dim={max_dim}, "
+            f"b={b}; increase max_dim")
+        assert not checkpoint_path, (
+            "checkpointing with block_size > 1 is not supported yet")
+    else:
+        if p is None:
+            p = min(nev + 5, max_dim - 1)
+        assert nev <= p < max_dim, f"need nev <= p < max_dim, got {nev}, {p}, {max_dim}"
     assert max_dim <= n
 
     wdtype = _solver_dtype(op.dtype, dtype)
@@ -187,8 +205,8 @@ def partial_schur(
 
     # Transposed workspace: basis vectors are contiguous rows (the
     # reference's F-order lever, ~1.8x per-iteration on TPU).
-    V = jnp.zeros((max_dim + 1, n_solve), dtype=wdtype)
-    H = jnp.zeros((max_dim + 1, max_dim), dtype=wdtype)
+    V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
+    H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
 
     if mesh is not None:
         from ..parallel.sharded import shard_operator, shard_workspace
@@ -206,6 +224,14 @@ def partial_schur(
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
     V = V.at[0, :].set(v0)
+    if b > 1:
+        from ..ops.ortho import block_cgs2
+
+        key2 = jax.random.key(0) if key is None else jax.random.split(key)[1]
+        extra = jax.random.normal(key2, (b - 1, n_solve), dtype=wdtype)
+        W0 = jnp.concatenate([v0[None, :], extra], axis=0)
+        _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
+        V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
 
     history = History.from_k(nev)
     has_converged = False
@@ -248,10 +274,18 @@ def partial_schur(
     else:
         start_dim0 = 0
 
-    V, H, n_iter = arnoldi_expand(
-        op, V, H, tol, start_dim=start_dim0, max_dim=max_dim, ortho=ortho
-    )
-    m = int(n_iter)
+    if b > 1:
+        from .decomposition import _block_expand_jit
+
+        V, H, jb = _block_expand_jit(op, V, H, tol,
+                                     start_block=start_dim0 // b,
+                                     n_blocks=max_dim // b, b=b)
+        m = int(jb) * b
+    else:
+        V, H, n_iter = arnoldi_expand(
+            op, V, H, tol, start_dim=start_dim0, max_dim=max_dim, ortho=ortho
+        )
+        m = int(n_iter)
     total_matvecs += m - start_dim0
 
     nev_ret = nev
@@ -265,7 +299,7 @@ def partial_schur(
 
         H_host = np.asarray(H).astype(hp)
         if H_trunc_hp is not None:
-            H_host[: prev_pa + 1, :prev_pa] = H_trunc_hp
+            H_host[: prev_pa + b, :prev_pa] = H_trunc_hp
         H_active = H_host[:m, :m]
 
         ## Rotation: ordered Schur of the projected matrix (reference does
@@ -292,13 +326,15 @@ def partial_schur(
             in_block = np.zeros(m + 1, dtype=bool)
 
         ## Truncation to the leading p columns (fewer on breakdown), never
-        # splitting a conjugate-pair block.
+        # splitting a conjugate-pair block (and staying block-aligned for
+        # the block driver).
         pa = min(p, m) if happy_breakdown else p
         if in_block[pa]:
-            if pa + 1 < m or (happy_breakdown and pa + 1 <= m):
-                pa += 1
-            elif pa - 1 >= nev:
-                pa -= 1
+            step = b if b > 1 else 1
+            if pa + step < m or (happy_breakdown and pa + step <= m):
+                pa += step
+            elif pa - step >= nev:
+                pa -= step
             else:
                 raise ValueError(
                     "Cannot truncate without splitting a conjugate pair; "
@@ -308,24 +344,38 @@ def partial_schur(
 
         H_new = np.zeros_like(H_host)
         H_new[:pa, :pa] = T2[:pa, :pa]
-        # Coupling row: the old h_{m+1,m} e_m^H rotated by Qp
-        # (reference krylov_schur.py:83-88).
-        H_new[pa, :pa] = H_host[m, :m] @ Qp
-        H_trunc_hp = H_new[: pa + 1, :pa].copy()
+        # Coupling row(s): the residual block's projections rotated by Qp
+        # (reference krylov_schur.py:83-88; b rows for the block driver).
+        H_new[pa : pa + b, :pa] = H_host[m : m + b, :m] @ Qp
+        H_trunc_hp = H_new[: pa + b, :pa].copy()
         prev_pa = pa
 
         ## Convergence: |h_{m+1,m} * Q[m-1, i]| / |lambda_i|
         # (reference krylov_schur.py:91-99).  In the real form a conjugate
         # pair converges as a unit: its residual is the coupling times the
         # norm of the block's two last-row rotation entries.
-        coupling = np.abs(H_host[m, m - 1])
-        last_row = np.abs(Q[m - 1, :]).astype(np.float64)
-        if is_real:
-            for s, sz in zip(b_starts, b_sizes):
-                if sz == 2:
-                    pr = np.hypot(Q[m - 1, s], Q[m - 1, s + 1])
-                    last_row[s] = last_row[s + 1] = pr
-        approximate_residuals = coupling * last_row
+        if b > 1:
+            # Block residuals: || B Q[last-b rows, i] || per Schur vector,
+            # shared across both positions of a 2x2 pair.
+            coupling_block = H_host[m : m + b, :m]
+            approximate_residuals = np.linalg.norm(
+                coupling_block @ Q, axis=0).astype(np.float64)
+            if is_real:
+                for s, sz in zip(b_starts, b_sizes):
+                    if sz == 2:
+                        pr = np.hypot(approximate_residuals[s],
+                                      approximate_residuals[s + 1])
+                        approximate_residuals[s] = pr
+                        approximate_residuals[s + 1] = pr
+        else:
+            coupling = np.abs(H_host[m, m - 1])
+            last_row = np.abs(Q[m - 1, :]).astype(np.float64)
+            if is_real:
+                for s, sz in zip(b_starts, b_sizes):
+                    if sz == 2:
+                        pr = np.hypot(Q[m - 1, s], Q[m - 1, s + 1])
+                        last_row[s] = last_row[s + 1] = pr
+            approximate_residuals = coupling * last_row
         denom = np.abs(eigs_pos)
         denom = np.where(denom == 0, 1.0, denom)
         approximate_convergence = approximate_residuals / denom
@@ -338,19 +388,27 @@ def partial_schur(
             float(np.max(approximate_convergence[:nev]))
         )
 
-        has_converged = happy_breakdown or bool(
-            np.all(approximate_convergence[:nev] < tol)
-        )
-        if happy_breakdown:
+        # Convergence is decided by the residuals alone: a scalar happy
+        # breakdown zeroes the coupling row so its residuals vanish, while a
+        # block rank-deficiency leaves genuine nonzero residuals and must
+        # NOT be treated as convergence.
+        has_converged = bool(np.all(approximate_convergence[:nev] < tol))
+        if has_converged and happy_breakdown:
             # The coupling vanished: the Schur pairs are exact
             # (capability extension; the reference raises here).
             history.matvecs[:] = np.maximum(history.matvecs, total_matvecs)
             history.restarts[:] = np.maximum(history.restarts, restart + 1)
+        if (not has_converged) and happy_breakdown and pa >= m:
+            raise ValueError(
+                f"Krylov expansion saturated at dimension {m} without "
+                f"convergence (block rank deficiency); reduce block_size or "
+                f"max_dim, or use the scalar driver")
         if has_converged:
             # A 2x2 block straddling the nev boundary cannot be cut: return
             # nev+1 pairs (ARPACK's k/k+1 contract for real problems).
             nev_ret = nev + 1 if in_block[nev] else nev
-            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
+            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m,
+                                carry=b)
             break
 
         H = jnp.asarray(H_new.astype(wdtype))
@@ -376,6 +434,14 @@ def partial_schur(
             V, H, n_iter = arnoldi_expand(
                 op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
             )
+        elif b > 1:
+            from .decomposition import _block_expand_jit
+
+            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m,
+                                carry=b)
+            V, H, jb = _block_expand_jit(op, V, H, tol, start_block=pa // b,
+                                         n_blocks=max_dim // b, b=b)
+            n_iter = int(jb) * b
         else:
             # Fused single-dispatch restart step.
             from ..ops.ortho import resolve_ortho as _r  # noqa: F401

@@ -287,11 +287,15 @@ def partial_eigh(
         history.residual_trace.append(
             float(np.max(approximate_convergence[:nev])))
 
-        has_converged = happy_breakdown or bool(
-            np.all(approximate_convergence[:nev] < tol))
-        if happy_breakdown:
+        has_converged = bool(np.all(approximate_convergence[:nev] < tol))
+        if has_converged and happy_breakdown:
             history.matvecs[:] = np.maximum(history.matvecs, total_matvecs)
             history.restarts[:] = np.maximum(history.restarts, restart + 1)
+        if (not has_converged) and happy_breakdown and pa >= m:
+            raise ValueError(
+                f"Krylov expansion saturated at dimension {m} without "
+                f"convergence (block rank deficiency); reduce block_size or "
+                f"max_dim, or use the scalar driver")
         if has_converged:
             theta_final = theta
             break

@@ -104,3 +104,63 @@ class TestBlockPartialEigh:
         )
         want = np.sort(laplace_2d_eigen(16))[:4]
         np.testing.assert_allclose(np.sort(vals), want, rtol=1e-8, atol=1e-8)
+
+
+class TestBlockKrylovSchur:
+    def test_degenerate_nonhermitian(self):
+        # Non-Hermitian driver with a double eigenvalue: block_size=2
+        # recovers both copies (the scalar driver sees only one).
+        rng = np.random.default_rng(5)
+        d = np.concatenate([[7.0, 7.0, 5.0], np.linspace(4, 0.1, 37)])
+        n = len(d)
+        Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = Qo.T @ np.diag(d) @ Qo
+
+        from arnoldi_tpu import partial_schur
+
+        Q, T, h = partial_schur(
+            A, 3, max_dim=20, sort_function="LR", max_restarts=1000,
+            block_size=2, key=jax.random.key(1),
+        )
+        Th, Qh = np.asarray(T), np.asarray(Q)
+        got = np.sort(np.real(np.linalg.eigvals(Th)))[::-1]
+        np.testing.assert_allclose(got, [7, 7, 5], rtol=1e-7, atol=1e-7)
+        res = norm(A @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-7)
+
+    def test_mark_block_matches_arpack(self):
+        import scipy.sparse.linalg as spla
+        from scipy.optimize import linear_sum_assignment
+
+        from arnoldi_tpu import partial_schur
+        from arnoldi_tpu.matrices import mark
+
+        A = mark(10)
+        Q, T, _ = partial_schur(
+            A, 4, max_dim=16, sort_function="LM", max_restarts=2000,
+            block_size=2, key=jax.random.key(3),
+        )
+        Qh, Th = np.asarray(Q), np.asarray(T)
+        res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-7)
+        rv = spla.eigs(A, Qh.shape[1], which="LM", maxiter=5000)[0]
+        v = np.linalg.eigvals(Th)
+        cost = np.abs(np.sort_complex(v)[:, None] - np.sort_complex(rv)[None, :])
+        ri, ci = linear_sum_assignment(cost)
+        assert np.abs(np.sort_complex(v)[ri] - np.sort_complex(rv)[ci]).max() < 1e-6
+
+    def test_saturation_raises_not_garbage(self):
+        # Tiny space where the block expansion saturates: must raise an
+        # informative error, never return unconverged values silently.
+        rng = np.random.default_rng(5)
+        D = np.diag([7, 7, 5, 4, 3, 2, 1]).astype(float)
+        n = D.shape[0]
+        Qo, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        A = Qo.T @ D @ Qo
+
+        from arnoldi_tpu import partial_schur
+
+        with pytest.raises(ValueError, match="saturated|Has not converged"):
+            partial_schur(A, 3, max_dim=6, sort_function="LR",
+                          max_restarts=1000, block_size=2,
+                          key=jax.random.key(1))
