@@ -208,6 +208,25 @@ def block_cgs2(Vt, W, n_active, *, tol=1e-8):
     return C, Q, R, breakdown
 
 
+def cgs2(Vt, w, n_active, *, tol=1e-8, eta=None):
+    """Unconditional twice-is-enough classical Gram-Schmidt.
+
+    The recommended kernel at float32 on TPU.  Straight-line code (no
+    ``lax.cond``): both passes always run, which is both the numerically
+    robust choice at low precision and cheaper on TPU than a conditional
+    second pass whose predicate is almost always true.
+    """
+    mp1 = Vt.shape[0]
+    mask = _row_mask(mp1, n_active, Vt.dtype)
+
+    c1 = jnp.matmul(Vt.conj(), w, precision=_PREC) * mask
+    w = w - jnp.matmul(c1, Vt, precision=_PREC)
+    c2 = jnp.matmul(Vt.conj(), w, precision=_PREC) * mask
+    w = w - jnp.matmul(c2, Vt, precision=_PREC)
+    beta = _norm(w)
+    return c1 + c2, w, beta, beta < tol
+
+
 #: Registry used by solver drivers ("ortho" kwarg).
 ORTHO_KERNELS = {
     "cgs_dgks": cgs_dgks,
@@ -215,7 +234,7 @@ ORTHO_KERNELS = {
     # CGS2: unconditional double orthogonalization ("twice is enough") — the
     # recommended kernel at float32 on TPU where a single pass may lose
     # orthogonality faster than at the reference's complex128.
-    "cgs2": partial(cgs_dgks, eta=jnp.inf),
+    "cgs2": cgs2,
     "cgs": partial(cgs_dgks, eta=0.0),
     "mgs": partial(mgs_dgks, eta=0.0),
 }

@@ -82,6 +82,16 @@ def naive_explicit_restarts(A, m=None, *, stopping_criterion=None,
     ct = np.result_type(np.dtype(op.dtype), np.complex64)
     wdtype = jax.dtypes.canonicalize_dtype(ct) if dtype is None \
         else jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+    from .krylov_schur import _backend_supports_complex
+
+    if (np.issubdtype(wdtype, np.complexfloating)
+            and not _backend_supports_complex()):
+        raise NotImplementedError(
+            "The explicit-restart drivers build complex Ritz vectors and the "
+            "TPU backend has no complex dtypes; run them on CPU "
+            "(jax.config.update('jax_platforms', 'cpu')) or use "
+            "partial_schur/partial_eigh, whose real-arithmetic paths run "
+            "on TPU")
 
     k = 1  # naive restart only converges the dominant eigenpair
     if m is None:
@@ -139,6 +149,16 @@ def explicit_restarts_with_deflation(
     ct = np.result_type(np.dtype(op.dtype), np.complex64)
     wdtype = jax.dtypes.canonicalize_dtype(ct) if dtype is None \
         else jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+    from .krylov_schur import _backend_supports_complex
+
+    if (np.issubdtype(wdtype, np.complexfloating)
+            and not _backend_supports_complex()):
+        raise NotImplementedError(
+            "The explicit-restart drivers build complex Ritz vectors and the "
+            "TPU backend has no complex dtypes; run them on CPU "
+            "(jax.config.update('jax_platforms', 'cpu')) or use "
+            "partial_schur/partial_eigh, whose real-arithmetic paths run "
+            "on TPU")
 
     V = jnp.zeros((max_dim + 1, n), dtype=wdtype)
     H_host = np.zeros((max_dim + 1, max_dim), dtype=wdtype)
