@@ -10,7 +10,13 @@ and parallel utilities that the TPU-native design adds.
 from ._version import __version__
 from .solvers.krylov_schur import partial_schur
 from .solvers.lanczos import partial_eigh
-from .solvers.spectral_transform import eigs, eigsh, shift_invert_operator
+from .solvers.spectral_transform import (
+    eigs,
+    eigsh,
+    generalized_operator,
+    shift_invert_operator,
+)
+from .solvers.svd import svds
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
     History,
@@ -31,7 +37,9 @@ __all__ = [
     "partial_eigh",
     "eigs",
     "eigsh",
+    "svds",
     "shift_invert_operator",
+    "generalized_operator",
     "arnoldi_decomposition",
     "RitzDecomposition",
     "History",

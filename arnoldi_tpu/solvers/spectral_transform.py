@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..linop import CallableOperator, as_operator
 from ..utils.sorting import sort_function_for
 
-__all__ = ["shift_invert_operator", "eigs", "eigsh"]
+__all__ = ["shift_invert_operator", "generalized_operator", "eigs", "eigsh"]
 
 
 def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
@@ -65,17 +65,81 @@ def _transform_back(theta, sigma):
     return sigma + 1.0 / theta
 
 
-def eigs(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None, maxiter=1000,
-         dtype=None, ortho="cgs_dgks", key=None, return_eigenvectors=True,
-         inner_solver="bicgstab", inner_tol=None):
+def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
+                         inner_tol=1e-10, maxiter=2000, dtype=None):
+    """Operator for the generalized problem ``A x = lambda B x``.
+
+    Without ``sigma``: ``B^{-1} A`` (eigenvalues unchanged).  With
+    ``sigma``: the generalized shift-invert ``(A - sigma B)^{-1} B``
+    (eigenvalues transform as ``lambda = sigma + 1/theta``).  The inverse
+    is an inner jittable Krylov solve, so the operator runs on TPU and
+    through shardings like any other.
+    """
+    opA = as_operator(A, dtype=dtype)
+    opB = as_operator(B, dtype=dtype)
+    n = opA.shape[0]
+    assert opB.shape[0] == n
+
+    from jax.scipy.sparse.linalg import bicgstab, cg, gmres
+
+    solvers = {"bicgstab": bicgstab, "cg": cg, "gmres": gmres}
+    solve_fn = solvers[solver]
+
+    if sigma is None:
+        def mv(x):
+            y, _ = solve_fn(opB.matvec, opA.matvec(x), tol=inner_tol,
+                            maxiter=maxiter)
+            return y
+    else:
+        sig = float(sigma)
+
+        def shifted(x):
+            return opA.matvec(x) - sig * opB.matvec(x)
+
+        def mv(x):
+            y, _ = solve_fn(shifted, opB.matvec(x), tol=inner_tol,
+                            maxiter=maxiter)
+            return y
+
+    return CallableOperator(mv, (n, n), opA.dtype,
+                            nnz=opA.nnz + opB.nnz)
+
+
+def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
+         maxiter=1000, dtype=None, ortho="cgs_dgks", key=None,
+         return_eigenvectors=True, inner_solver="bicgstab", inner_tol=None):
     """scipy.sparse.linalg.eigs-compatible driver on the Krylov-Schur core.
 
     ``sigma`` activates shift-invert: eigenvalues of A nearest ``sigma``
-    (the outer iteration runs LM on ``(A - sigma I)^{-1}``).
+    (the outer iteration runs LM on ``(A - sigma I)^{-1}``).  ``M``
+    activates the generalized problem ``A x = lambda M x`` (inner Krylov
+    solves against M, or against ``A - sigma M`` when combined with
+    ``sigma``).
     """
     from .krylov_schur import eigenpairs_from_partial_schur, partial_schur
 
     op = as_operator(A, dtype=dtype)
+    if M is not None:
+        if tol is None:
+            tol = float(np.sqrt(np.finfo(op.dtype).eps))
+        itol = inner_tol if inner_tol is not None else tol * 1e-2
+        gop = generalized_operator(op, M, sigma, solver=inner_solver,
+                                   inner_tol=itol, dtype=dtype)
+        outer_sort = sort_function_for("LM" if sigma is not None else which)
+        Q, T, hist = partial_schur(
+            gop, k, max_dim=ncv, stopping_criterion=tol,
+            sort_function=outer_sort, max_restarts=maxiter, ortho=ortho,
+            dtype=dtype, key=key,
+        )
+        theta, vecs = eigenpairs_from_partial_schur(Q, T)
+        vals = _transform_back(theta, sigma) if sigma is not None else theta
+        if len(vals) > k:
+            order = np.asarray(sort_function_for(which)(vals))[:k]
+            vals = np.asarray(vals)[order]
+            vecs = np.asarray(vecs)[:, order]
+        if return_eigenvectors:
+            return np.asarray(vals), np.asarray(vecs)
+        return np.asarray(vals)
     if sigma is not None:
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))

@@ -1,0 +1,79 @@
+"""Partial SVD (svds) and generalized eigenproblem (eigs/eigsh with M)
+tests against dense LAPACK references."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+from arnoldi_tpu import eigs, svds
+from arnoldi_tpu.matrices import laplace
+
+
+class TestSvds:
+    def test_dense_rectangular(self):
+        rng = np.random.default_rng(0)
+        A = rng.standard_normal((60, 40))
+        U, s, Vh = svds(A, 5, tol=1e-10, maxiter=3000, key=jax.random.key(1))
+        ref = np.linalg.svd(A, compute_uv=False)[:5]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-9)
+        # shapes and the scipy (ascending) convention
+        assert U.shape == (60, 5) and Vh.shape == (5, 40)
+        assert np.all(np.diff(s) >= 0)
+        # triplet consistency: A v = s u
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s, atol=1e-8)
+        # orthonormality
+        np.testing.assert_allclose(U.T @ U, np.eye(5), atol=1e-8)
+        np.testing.assert_allclose(Vh @ Vh.conj().T, np.eye(5), atol=1e-8)
+
+    def test_sparse_square(self):
+        A = laplace(100).tocsr()
+        s = svds(A, 3, return_singular_vectors=False, tol=1e-10,
+                 maxiter=3000, key=jax.random.key(2))
+        ref = np.sort(np.abs(np.linalg.eigvalsh(A.todense())))[-3:]
+        np.testing.assert_allclose(np.asarray(s), ref, rtol=1e-8)
+
+    def test_block_svds(self):
+        rng = np.random.default_rng(3)
+        A = rng.standard_normal((50, 30))
+        _, s, _ = svds(A, 4, tol=1e-10, maxiter=3000, block_size=2,
+                       key=jax.random.key(3))
+        ref = np.linalg.svd(A, compute_uv=False)[:4]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-8)
+
+    def test_unsupported_modes(self):
+        rng = np.random.default_rng(4)
+        with pytest.raises(NotImplementedError):
+            svds(rng.standard_normal((20, 20)), 2, which="SM")
+        with pytest.raises(NotImplementedError):
+            svds(rng.standard_normal((20, 30)), 2)  # n_rows < n_cols
+
+
+class TestGeneralized:
+    def test_largest_real(self):
+        n = 80
+        A = laplace(n).tocsr()
+        B = sp.diags_array(np.linspace(1, 2, n)).tocsr()
+        vals, vecs = eigs(A, 3, which="LR", M=B, tol=1e-9, maxiter=5000,
+                          key=jax.random.key(0))
+        ref = np.sort(sla.eigh(A.todense(), B.todense(),
+                               eigvals_only=True))[::-1][:3]
+        np.testing.assert_allclose(np.sort(np.real(vals))[::-1], ref,
+                                   rtol=1e-7, atol=1e-9)
+        # generalized residual: A v = lambda B v
+        res = np.linalg.norm(A @ vecs - (B @ vecs) * vals, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+    def test_shift_invert_generalized(self):
+        n = 60
+        A = laplace(n).tocsr()
+        B = sp.diags_array(np.linspace(0.5, 1.5, n)).tocsr()
+        sigma = -1.0
+        vals, vecs = eigs(A, 3, sigma=sigma, M=B, tol=1e-9, maxiter=5000,
+                          key=jax.random.key(5))
+        full = np.sort(sla.eigh(A.todense(), B.todense(), eigvals_only=True))
+        want = full[np.argsort(np.abs(full - sigma))[:3]]
+        got = np.sort(np.real(vals))
+        np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-7,
+                                   atol=1e-8)
