@@ -89,6 +89,124 @@ def _selective_cache(n_locked):
 lanczos_selective_ortho = make_lanczos_selective_ortho(0)
 
 
+def _device_order(which, theta, m):
+    """Device-side wanted-first ordering of eigh's ascending eigenvalues."""
+    if which == "LA":
+        return jnp.arange(m - 1, -1, -1)
+    if which == "SA":
+        return jnp.arange(m)
+    if which == "LM":
+        return jnp.argsort(-jnp.abs(theta))
+    if which == "SM":
+        return jnp.argsort(jnp.abs(theta))
+    raise ValueError(which)
+
+
+@partial(jax.jit, static_argnames=("nev", "p", "max_dim", "max_restarts",
+                                   "which", "ortho", "b"))
+def _trl_solve_jit(op, v0_block, tol, *, nev, p, max_dim, max_restarts,
+                   which, ortho, b):
+    """Thick-restart Lanczos with the ENTIRE restart loop on device.
+
+    The projected eigenproblem is a small symmetric ``eigh`` — supported by
+    XLA on TPU — so unlike the non-Hermitian driver nothing needs the host:
+    expansion, Rayleigh-Ritz rotation, truncation, and the convergence test
+    all run inside one jitted ``lax.while_loop``.  One dispatch per SOLVE
+    instead of several host round-trips per restart (which otherwise
+    dominate wall time, ~100 ms each through a remote-TPU tunnel).
+
+    Returns ``(V, theta, converged, healthy, restarts, trace)`` where
+    ``healthy=False`` flags a breakdown (invariant subspace / block rank
+    deficiency) that this fixed-shape loop cannot handle — the caller falls
+    back to the host-orchestrated path.
+    """
+    from .krylov_schur import _truncate_basis
+
+    n = v0_block.shape[1]
+    m = max_dim
+    rdtype = jnp.finfo(v0_block.dtype).dtype
+
+    V = jnp.zeros((m + b, n), v0_block.dtype)
+    V = lax.dynamic_update_slice(V, v0_block, (0, 0))
+    H = jnp.zeros((m + b, m), v0_block.dtype)
+
+    if b > 1:
+        from .decomposition import _block_expand_jit
+
+        V, H, jb = _block_expand_jit(op, V, H, tol, start_block=0,
+                                     n_blocks=m // b, b=b)
+        healthy0 = jb == m // b
+    else:
+        from .decomposition import _expand_jit
+
+        V, H, it = _expand_jit(op, V, H, tol, start_dim=0, max_dim=m,
+                               ortho=ortho)
+        healthy0 = it == m
+
+    trace0 = jnp.full((max_restarts,), jnp.nan, rdtype)
+
+    def cond_fn(c):
+        V, H, r, conv, healthy, theta, trace = c
+        return (~conv) & healthy & (r < max_restarts)
+
+    def body_fn(c):
+        V, H, r, conv, healthy, _, trace = c
+        H_active = H[:m, :m]
+        H_sym = (H_active + H_active.T) * jnp.asarray(0.5, V.dtype)
+        theta, S = jnp.linalg.eigh(H_sym)          # ascending
+        order = _device_order(which, theta, m)
+        theta = theta[order]
+        S = S[:, order]
+
+        coupling = H[m : m + b, :m]                # (b, m)
+        res = jnp.linalg.norm(
+            jnp.matmul(coupling, S, precision=lax.Precision.HIGHEST), axis=0)
+        denom = jnp.maximum(jnp.abs(theta), jnp.asarray(1e-30, rdtype))
+        rel = res / denom
+        conv_now = jnp.all(rel[:nev] < tol)
+        trace = trace.at[r].set(jnp.max(rel[:nev]))
+
+        Sp = S[:, :p]
+        V2 = _truncate_basis(V, Sp.astype(V.dtype), p=p, m=m, carry=b)
+        H2 = jnp.zeros_like(H)
+        H2 = H2.at[jnp.arange(p), jnp.arange(p)].set(theta[:p].astype(V.dtype))
+        H2 = lax.dynamic_update_slice(
+            H2,
+            jnp.matmul(coupling, Sp,
+                       precision=lax.Precision.HIGHEST).astype(V.dtype),
+            (p, 0))
+
+        def expand_again(args):
+            V2, H2 = args
+            if b > 1:
+                from .decomposition import _block_expand_jit
+
+                V3, H3, jb = _block_expand_jit(op, V2, H2, tol,
+                                               start_block=p // b,
+                                               n_blocks=m // b, b=b)
+                return V3, H3, jb == m // b
+            from .decomposition import _expand_jit
+
+            V3, H3, it = _expand_jit(op, V2, H2, tol, start_dim=p,
+                                     max_dim=m, ortho=ortho)
+            return V3, H3, it == m
+
+        V3, H3, ok = lax.cond(
+            conv_now,
+            lambda args: (args[0], args[1], jnp.asarray(True)),
+            expand_again,
+            (V2, H2),
+        )
+        return V3, H3, r + 1, conv_now, healthy & ok, theta, trace
+
+    theta0 = jnp.zeros((m,), rdtype)
+    V, H, r, conv, healthy, theta, trace = lax.while_loop(
+        cond_fn, body_fn,
+        (V, H, jnp.asarray(0), jnp.asarray(False), healthy0, theta0, trace0),
+    )
+    return V, theta, conv, healthy, r, trace
+
+
 def _sym_sort(which):
     which = which.upper()
     if which == "LA":
@@ -119,9 +237,16 @@ def partial_eigh(
     v0=None,
     mesh=None,
     block_size=1,
+    device_loop=None,
 ):
     """Compute ``nev`` extremal eigenpairs of a HERMITIAN operator by
     thick-restart Lanczos.
+
+    ``device_loop`` (default: auto) runs the ENTIRE restart loop on device
+    in one dispatch — expansion, on-device ``eigh`` rotation, truncation,
+    and convergence test under ``lax.while_loop`` — eliminating the
+    per-restart host round-trips; breakdowns fall back to the
+    host-orchestrated loop automatically.
 
     Parameters mirror :func:`arnoldi_tpu.partial_schur`; ``which`` is one of
     "LA", "SA", "LM", "SM".  ``ortho="selective"`` uses the 3-term-recurrence
@@ -219,6 +344,42 @@ def partial_eigh(
     history = History.from_k(nev)
     has_converged = False
     total_matvecs = 0
+
+    # Device restart loop: the whole solve in ONE dispatch (the small
+    # symmetric eigh runs on-device, unlike the non-Hermitian Schur).
+    # Used whenever the bookkeeping allows; a breakdown inside the fixed-
+    # shape loop flags unhealthy and falls through to the host-orchestrated
+    # loop below.
+    # Auto-enable only where compilation is known-fast; the remote-TPU
+    # terminal takes many minutes to compile eigh inside a while_loop, so
+    # on TPU the single-dispatch loop is opt-in (device_loop=True).
+    use_device_loop = (
+        device_loop if device_loop is not None
+        else (mesh is None and not selective and which in SYM_SORTS
+              and jax.default_backend() != "tpu")
+    )
+    if use_device_loop:
+        v0_block = V[:b, :]
+        Vd, theta, conv, healthy, r_dev, trace = _trl_solve_jit(
+            op, v0_block, jnp.asarray(tol, jnp.finfo(wdtype).dtype),
+            nev=nev, p=p, max_dim=max_dim, max_restarts=max_restarts,
+            which=which.upper(), ortho=ortho if isinstance(ortho, str)
+            else "cgs_dgks", b=b,
+        )
+        if bool(healthy):
+            r_host = int(r_dev)
+            trace_host = np.asarray(trace)[:r_host]
+            history.residual_trace = [float(t) for t in trace_host]
+            history.restarts[:] = r_host
+            total = max_dim + max(r_host - 1, 0) * (max_dim - p)
+            history.matvecs[:] = total
+            history.total = total
+            if not bool(conv):
+                raise ValueError("Has not converged !")
+            eigenvalues = np.real(np.asarray(theta)[:nev])
+            eigenvectors = Vd[:nev, :n].T
+            return eigenvalues, eigenvectors, history
+        # unhealthy (breakdown): fall through to the host-orchestrated loop
 
     if b > 1:
         from .decomposition import _block_expand_jit

@@ -102,3 +102,34 @@ class TestPartialEigh:
         with pytest.raises(ValueError, match="Has not converged"):
             partial_eigh(A, 3, which="SA", stopping_criterion=1e-14,
                          max_dim=6, max_restarts=2)
+
+
+class TestDeviceLoop:
+    def test_matches_host_loop(self):
+        A = laplace_2d(16, 13)
+        kw = dict(which="SA", stopping_criterion=1e-9, max_restarts=3000,
+                  key=jax.random.key(3))
+        v1, _, h1 = partial_eigh(A, 4, device_loop=True, **kw)
+        v2, _, h2 = partial_eigh(A, 4, device_loop=False, **kw)
+        np.testing.assert_allclose(np.sort(v1), np.sort(v2), rtol=1e-9,
+                                   atol=1e-10)
+        assert len(h1.residual_trace) >= 1
+
+    def test_breakdown_falls_back_to_host(self):
+        # Start vector = exact eigenvector: the fixed-shape device loop
+        # cannot handle the resulting breakdown and must fall back to the
+        # host-orchestrated path, which converges via happy breakdown.
+        A = laplace(64)
+        dense = np.asarray(A.todense())
+        w, U = np.linalg.eigh(dense)
+        vals, vecs, h = partial_eigh(
+            A.tocsr(), 1, which="LA", stopping_criterion=1e-9,
+            max_restarts=100, v0=U[:, -1],
+        )
+        np.testing.assert_allclose(vals[0], w[-1], rtol=1e-10)
+
+    def test_device_loop_nonconvergence_raises(self):
+        A = laplace_2d(24)
+        with pytest.raises(ValueError, match="Has not converged"):
+            partial_eigh(A, 3, which="SA", stopping_criterion=1e-14,
+                         max_dim=8, max_restarts=3, device_loop=True)
