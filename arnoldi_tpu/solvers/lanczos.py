@@ -350,13 +350,14 @@ def partial_eigh(
     # Used whenever the bookkeeping allows; a breakdown inside the fixed-
     # shape loop flags unhealthy and falls through to the host-orchestrated
     # loop below.
-    # Auto-enable only where compilation is known-fast; the remote-TPU
-    # terminal takes many minutes to compile eigh inside a while_loop, so
-    # on TPU the single-dispatch loop is opt-in (device_loop=True).
+    # Auto-enabled except for features the fixed-shape device loop does not
+    # carry (meshes keep GSPMD host orchestration for now; the selective
+    # kernel mutates per restart).  Measured on the remote TPU: ~11 s cold
+    # compile, then ~0.13 s per warm solve vs ~1.8 s host-orchestrated
+    # (per-restart round-trips eliminated).
     use_device_loop = (
         device_loop if device_loop is not None
-        else (mesh is None and not selective and which in SYM_SORTS
-              and jax.default_backend() != "tpu")
+        else (mesh is None and not selective and which in SYM_SORTS)
     )
     if use_device_loop:
         v0_block = V[:b, :]
