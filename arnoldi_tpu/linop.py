@@ -79,16 +79,18 @@ class EllOperator:
     throughput accounting.
     """
 
-    data: jax.Array  # (n, L)
-    cols: jax.Array  # (n, L) int32
+    data: jax.Array  # (n_rows, L)
+    cols: jax.Array  # (n_rows, L) int32
     nnz_stored: int = dataclasses.field(metadata={"static": True})
     #: "xla" (jnp.take gather) or "pallas" (VMEM-resident-x kernel)
     backend: str = "xla"
+    #: column count; 0 means square (n_rows x n_rows)
+    n_cols: int = 0
 
     @property
     def shape(self):
         n = self.data.shape[0]
-        return (n, n)
+        return (n, self.n_cols or n)
 
     @property
     def dtype(self):
@@ -132,14 +134,17 @@ class EllOperator:
         slot_ids = np.arange(A.nnz) - np.repeat(A.indptr[:-1], degrees)
         data[row_ids, slot_ids] = A.data
         cols[row_ids, slot_ids] = A.indices
-        return cls(jnp.asarray(data), jnp.asarray(cols), int(A.nnz))
+        n_cols = 0 if A.shape[1] == n else int(A.shape[1])
+        return cls(jnp.asarray(data), jnp.asarray(cols), int(A.nnz),
+                   n_cols=n_cols)
 
     def tree_flatten(self):
-        return (self.data, self.cols), (self.nnz_stored, self.backend)
+        return (self.data, self.cols), (self.nnz_stored, self.backend,
+                                        self.n_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -203,6 +208,9 @@ class BandedOperator:
     def from_scipy(cls, A, dtype=None):
         import scipy.sparse as sp
 
+        assert A.shape[0] == A.shape[1], (
+            "BandedOperator requires a square matrix; use the ELL format "
+            "for rectangular sparse inputs")
         d = sp.dia_matrix(A)
         if dtype is not None:
             d = d.astype(dtype)
@@ -287,6 +295,7 @@ def pad_operator(op, n_pad):
     assert n_pad > n
     extra = n_pad - n
     if isinstance(op, EllOperator):
+        assert op.shape[0] == op.shape[1], "pad_operator expects square"
         data = jnp.vstack([op.data, jnp.zeros((extra, op.data.shape[1]), op.data.dtype)])
         cols = jnp.vstack([op.cols, jnp.zeros((extra, op.cols.shape[1]), op.cols.dtype)])
         return EllOperator(data, cols, op.nnz_stored, op.backend)
@@ -328,6 +337,9 @@ def as_operator(A, dtype=None, format=None, backend=None):
             op = EllOperator.from_scipy(A, dtype=dtype)
             return dataclasses.replace(op, backend=backend) if backend else op
         if format is None:
+            if A.shape[0] != A.shape[1]:
+                op = EllOperator.from_scipy(A, dtype=dtype)
+                return dataclasses.replace(op, backend=backend) if backend else op
             # Heuristic: DIA when the matrix is a stencil (few distinct
             # diagonals). Probe via COO offsets without building DIA.
             coo = A.tocoo()

@@ -37,6 +37,7 @@ def shard_operator(op, mesh):
             jax.device_put(op.cols, rows2),
             op.nnz_stored,
             op.backend,
+            op.n_cols,
         )
     if isinstance(op, DenseOperator):
         return DenseOperator(jax.device_put(op.A, rows2))

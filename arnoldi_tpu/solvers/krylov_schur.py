@@ -329,17 +329,28 @@ def partial_schur(
         # splitting a conjugate-pair block (and staying block-aligned for
         # the block driver).
         pa = min(p, m) if happy_breakdown else p
+        step = b if b > 1 else 1
+        # Moving by one block can land on ANOTHER 2x2 pair boundary, so
+        # keep stepping (upward first, then downward) until the cut is
+        # clean; give up only when no block-aligned clean cut exists.
         if in_block[pa]:
-            step = b if b > 1 else 1
-            if pa + step < m or (happy_breakdown and pa + step <= m):
-                pa += step
-            elif pa - step >= nev:
-                pa -= step
+            cand = pa
+            limit = m if happy_breakdown else m - 1
+            while cand + step <= limit and in_block[cand + step]:
+                cand += step
+            if cand + step <= limit and not in_block[cand + step]:
+                pa = cand + step
             else:
-                raise ValueError(
-                    "Cannot truncate without splitting a conjugate pair; "
-                    "increase max_dim or p"
-                )
+                cand = pa
+                while cand - step >= nev and in_block[cand - step]:
+                    cand -= step
+                if cand - step >= nev and not in_block[cand - step]:
+                    pa = cand - step
+                else:
+                    raise ValueError(
+                        "Cannot truncate without splitting a conjugate "
+                        "pair; increase max_dim or p"
+                    )
         Qp = Q[:, :pa]
 
         H_new = np.zeros_like(H_host)

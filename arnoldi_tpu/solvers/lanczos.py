@@ -259,9 +259,10 @@ def partial_eigh(
     amortizes every pass over the basis across b matvecs — the
     communication-avoiding structure that suits the MXU.
 
-    Returns ``(eigenvalues, eigenvectors, history)`` — eigenvalues are real,
-    ascending-sorted within the wanted set; eigenvectors are the (real if A
-    is real) Ritz basis columns.
+    Returns ``(eigenvalues, eigenvectors, history)`` — eigenvalues are
+    real and WANTED-FIRST ordered (e.g. descending for "LA"); the
+    scipy-ascending convention lives in :func:`arnoldi_tpu.eigsh`.
+    Eigenvectors are the (real if A is real) Ritz basis columns.
     """
     op = as_operator(A)
     n = op.shape[0]
@@ -357,7 +358,8 @@ def partial_eigh(
     # (per-restart round-trips eliminated).
     use_device_loop = (
         device_loop if device_loop is not None
-        else (mesh is None and not selective and which in SYM_SORTS)
+        else (mesh is None and not selective and which in SYM_SORTS
+              and isinstance(ortho, str))
     )
     if use_device_loop:
         v0_block = V[:b, :]

@@ -39,7 +39,7 @@ def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
     """
     op = as_operator(A, dtype=dtype)
     n = op.shape[0]
-    sigma = float(sigma)
+    sigma = np.asarray(sigma).item()  # keeps complex shifts complex
 
     from jax.scipy.sparse.linalg import bicgstab, cg, gmres
 
@@ -91,7 +91,7 @@ def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
                             maxiter=maxiter)
             return y
     else:
-        sig = float(sigma)
+        sig = np.asarray(sigma).item()
 
         def shifted(x):
             return opA.matvec(x) - sig * opB.matvec(x)
@@ -134,7 +134,11 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         theta, vecs = eigenpairs_from_partial_schur(Q, T)
         vals = _transform_back(theta, sigma) if sigma is not None else theta
         if len(vals) > k:
-            order = np.asarray(sort_function_for(which)(vals))[:k]
+            if sigma is not None:
+                # transformed criterion: largest |theta| = nearest sigma
+                order = np.argsort(-np.abs(np.asarray(theta)))[:k]
+            else:
+                order = np.asarray(sort_function_for(which)(vals))[:k]
             vals = np.asarray(vals)[order]
             vecs = np.asarray(vecs)[:, order]
         if return_eigenvectors:
@@ -154,14 +158,24 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         )
         theta, vecs = eigenpairs_from_partial_schur(Q, T)
         vals = _transform_back(theta, sigma)
-    else:
-        sort_function = sort_function_for(which)
-        Q, T, hist = partial_schur(
-            op, k, max_dim=ncv, stopping_criterion=tol,
-            sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
-            dtype=dtype, key=key,
-        )
-        vals, vecs = eigenpairs_from_partial_schur(Q, T)
+        # Trim by the transformed criterion (largest |theta| = nearest
+        # sigma), NOT by `which` on the back-transformed values — otherwise
+        # a straddling conjugate pair can evict the eigenvalue nearest
+        # sigma.
+        if len(vals) > k:
+            order = np.argsort(-np.abs(np.asarray(theta)))[:k]
+            vals = np.asarray(vals)[order]
+            vecs = np.asarray(vecs)[:, order]
+        if return_eigenvectors:
+            return np.asarray(vals), np.asarray(vecs)
+        return np.asarray(vals)
+    sort_function = sort_function_for(which)
+    Q, T, hist = partial_schur(
+        op, k, max_dim=ncv, stopping_criterion=tol,
+        sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
+        dtype=dtype, key=key,
+    )
+    vals, vecs = eigenpairs_from_partial_schur(Q, T)
 
     # scipy contract: exactly k pairs (the real path may carry k+1 when a
     # conjugate pair straddles; keep the k best under the sort).
@@ -174,12 +188,12 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     return np.asarray(vals)
 
 
-def eigsh(A, k=6, *, which="LA", sigma=None, tol=None, ncv=None,
+def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
           maxiter=1000, dtype=None, key=None, return_eigenvectors=True,
           inner_solver="cg", inner_tol=None, block_size=1):
     """scipy.sparse.linalg.eigsh-compatible driver on the thick-restart
     Lanczos core (Hermitian A)."""
-    from .lanczos import partial_eigh
+    from .lanczos import SYM_SORTS, partial_eigh
 
     op = as_operator(A, dtype=dtype)
     if sigma is not None:
@@ -188,21 +202,29 @@ def eigsh(A, k=6, *, which="LA", sigma=None, tol=None, ncv=None,
         itol = inner_tol if inner_tol is not None else tol * 1e-2
         solve_op = shift_invert_operator(
             op, sigma, solver=inner_solver, inner_tol=itol)
+        # scipy contract: under shift-invert, `which` selects on the
+        # TRANSFORMED eigenvalues nu = 1/(lambda - sigma).  The scipy
+        # default which='LM' therefore means "nearest sigma"; our eigsh
+        # default 'LA' maps to scipy's 'LM' semantics here.
+        trans_which = "LM" if which in ("LA", "LM") and sigma is not None             and which == "LA" else which
+        if trans_which not in SYM_SORTS:
+            raise ValueError(f"which={which!r} not supported with sigma")
         theta, vecs, hist = partial_eigh(
-            solve_op, k, which="LM", max_dim=ncv, stopping_criterion=tol,
-            max_restarts=maxiter, dtype=dtype, key=key,
-            block_size=block_size,
+            solve_op, k, which=trans_which, max_dim=ncv,
+            stopping_criterion=tol, max_restarts=maxiter, dtype=dtype,
+            key=key, block_size=block_size,
         )
         vals = _transform_back(theta, sigma)
-        order = np.argsort(vals)
-        vals = vals[order]
-        vecs = jnp.asarray(vecs)[:, jnp.asarray(order)]
     else:
         vals, vecs, hist = partial_eigh(
             op, k, which=which, max_dim=ncv, stopping_criterion=tol,
             max_restarts=maxiter, dtype=dtype, key=key,
             block_size=block_size,
         )
+    # scipy returns eigenvalues ascending.
+    order = np.argsort(np.asarray(vals))
+    vals = np.asarray(vals)[order]
+    vecs = np.asarray(vecs)[:, order]
     if return_eigenvectors:
-        return np.asarray(vals), np.asarray(vecs)
-    return np.asarray(vals)
+        return vals, vecs
+    return vals

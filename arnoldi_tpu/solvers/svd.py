@@ -33,7 +33,7 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
             "use eigsh with a shift on the Gram operator for the smallest")
 
     op = as_operator(A, dtype=dtype)
-    n_rows, n_cols = op.shape if hasattr(op, "shape") else A.shape
+    n_rows, n_cols = op.shape
 
     # Work with the smaller Gram dimension: A^H A (m x m) if m <= n.
     transposed = n_rows < n_cols

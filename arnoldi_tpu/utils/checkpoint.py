@@ -39,9 +39,11 @@ class RestartCheckpoint:
 
 
 def save_checkpoint(path, ckpt: RestartCheckpoint):
-    tmp = f"{path}.tmp"
+    # np.savez appends ".npz" unless the name already ends with it; write to
+    # a tmp name and atomically rename onto the requested path.
+    tmp = f"{path}.tmp.npz"
     np.savez(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         V=np.asarray(ckpt.V),
         H_hp=np.asarray(ckpt.H_hp),
         pa=ckpt.pa,
@@ -51,8 +53,7 @@ def save_checkpoint(path, ckpt: RestartCheckpoint):
         restarts=ckpt.restarts,
         residual_trace=np.asarray(ckpt.residual_trace, dtype=np.float64),
     )
-    # numpy appends .npz to the tmp name
-    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path) -> RestartCheckpoint:

@@ -77,3 +77,52 @@ class TestGeneralized:
         got = np.sort(np.real(vals))
         np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-7,
                                    atol=1e-8)
+
+
+class TestReviewRegressions:
+    """Regressions for the round-1 code-review findings."""
+
+    def test_rectangular_sparse_svds(self):
+        # EllOperator used to report rectangular matrices as square,
+        # corrupting the Gram problem.
+        A = sp.random(24, 12, density=0.4,
+                      random_state=np.random.RandomState(1)).tocsr()
+        U, s, Vh = svds(A, 3, tol=1e-10, maxiter=3000, key=jax.random.key(0))
+        ref = np.linalg.svd(A.todense(), compute_uv=False)[:3]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-8)
+        assert U.shape == (24, 3) and Vh.shape == (3, 12)
+
+    def test_shift_invert_trim_keeps_nearest_sigma(self):
+        # The k-trim used to re-sort by |lambda|, evicting the eigenvalue
+        # nearest sigma when a conjugate pair straddled k.
+        rng = np.random.default_rng(3)
+        D = sla.block_diag(np.diag([0.05, 2.0, 3.0, 4.0, 5.0]),
+                           np.array([[0.1, -0.1], [0.1, 0.1]]))
+        Qo, _ = np.linalg.qr(rng.standard_normal(D.shape))
+        A = Qo.T @ D @ Qo
+        vals, _ = eigs(A, 2, sigma=0.0, tol=1e-9, maxiter=3000,
+                       key=jax.random.key(1))
+        assert np.min(np.abs(vals - 0.05)) < 1e-6, (
+            "nearest-sigma eigenvalue 0.05 must survive the k-trim"
+        )
+
+    def test_eigsh_scipy_contracts(self):
+        from arnoldi_tpu import eigsh
+        from arnoldi_tpu.matrices import laplace_eigen
+
+        A = laplace(64).tocsr()
+        v, vecs = eigsh(A, 4, which="LA", tol=1e-9, maxiter=3000)
+        # ascending order like scipy, values correct
+        assert np.all(np.diff(v) >= 0)
+        np.testing.assert_allclose(v, np.sort(laplace_eigen(64))[-4:],
+                                   rtol=1e-8)
+
+    def test_complex_sigma_accepted(self):
+        rng = np.random.default_rng(7)
+        A = (rng.standard_normal((30, 30))
+             + 1j * rng.standard_normal((30, 30)))
+        ref = np.linalg.eigvals(A)
+        sigma = ref[5] + 0.01 + 0.01j  # near an eigenvalue, complex shift
+        vals, _ = eigs(A, 1, sigma=sigma, tol=1e-9, maxiter=3000,
+                       key=jax.random.key(2))
+        assert np.min(np.abs(ref - vals[0])) < 1e-6
