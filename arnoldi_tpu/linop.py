@@ -241,6 +241,93 @@ class BandedOperator:
 
 
 @jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BsrOperator:
+    """Block-sparse-row operator: dense ``r x c`` blocks at sparse block
+    positions — the TPU-friendly encoding for FE/mesh matrices whose natural
+    nonzero pattern is small dense blocks.
+
+    ``y_block[i] = sum_k blocks[k] @ x_block[block_cols[k]]`` for the blocks
+    ``k`` in block-row ``i``; stored ELL-style with a fixed block budget per
+    block-row, so every shape is static and the per-block work is a dense
+    einsum that XLA batches onto the MXU (far better arithmetic intensity
+    per gathered element than scalar ELL).
+    """
+
+    blocks: jax.Array      # (n_brow, L, r, c) dense blocks, zero-padded
+    block_cols: jax.Array  # (n_brow, L) int32 block-column ids
+    nnz_stored: int = dataclasses.field(metadata={"static": True})
+    n_cols: int = 0        # true column count (pre block padding)
+    n_rows: int = 0        # true row count
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def nnz(self):
+        return self.nnz_stored
+
+    @property
+    def blockshape(self):
+        return self.blocks.shape[2], self.blocks.shape[3]
+
+    def matvec(self, x):
+        r, c = self.blockshape
+        n_bcol_pad = -(-self.n_cols // c) * c
+        xp = jnp.zeros(n_bcol_pad, x.dtype).at[: self.n_cols].set(x)
+        xb = xp.reshape(-1, c)                       # (n_bcol, c)
+        gathered = jnp.take(xb, self.block_cols, axis=0)  # (n_brow, L, c)
+        yb = jnp.einsum("blrc,blc->br", self.blocks, gathered,
+                        precision=_PREC)             # (n_brow, r)
+        return yb.reshape(-1)[: self.n_rows]
+
+    def matmat(self, X):
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    @classmethod
+    def from_scipy(cls, A, blocksize=(8, 8), dtype=None):
+        import scipy.sparse as sp
+
+        r, c = blocksize
+        n_rows, n_cols_true = A.shape
+        pad_r = -(-n_rows // r) * r
+        pad_c = -(-n_cols_true // c) * c
+        coo = sp.coo_matrix(A)
+        B = sp.coo_matrix(
+            (coo.data, (coo.row, coo.col)), shape=(pad_r, pad_c)
+        ).tobsr(blocksize=(r, c))
+        if dtype is not None:
+            B = B.astype(dtype)
+        B.sum_duplicates()
+        n_brow = B.indptr.shape[0] - 1
+        degrees = np.diff(B.indptr)
+        L = max(int(degrees.max(initial=0)), 1)
+        blocks = np.zeros((n_brow, L, r, c), dtype=B.data.dtype)
+        cols = np.zeros((n_brow, L), dtype=np.int32)
+        row_ids = np.repeat(np.arange(n_brow), degrees)
+        slot_ids = np.arange(B.indices.shape[0]) - np.repeat(
+            B.indptr[:-1], degrees)
+        blocks[row_ids, slot_ids] = B.data
+        cols[row_ids, slot_ids] = B.indices
+        return cls(jnp.asarray(blocks), jnp.asarray(cols),
+                   int(sp.csr_matrix(A).count_nonzero()),
+                   n_cols=int(A.shape[1]), n_rows=int(A.shape[0]))
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_cols), (
+            self.nnz_stored, self.n_cols, self.n_rows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
+
+
+@jax.tree_util.register_pytree_node_class
 class CallableOperator:
     """Wrap an arbitrary jittable matvec closure as an operator."""
 
@@ -277,7 +364,8 @@ class CallableOperator:
 
 
 #: Union type for documentation purposes.
-LinearOperator = (DenseOperator, EllOperator, BandedOperator, CallableOperator)
+LinearOperator = (DenseOperator, EllOperator, BandedOperator, BsrOperator,
+                  CallableOperator)
 
 
 def pad_operator(op, n_pad):
@@ -336,6 +424,9 @@ def as_operator(A, dtype=None, format=None, backend=None):
         if format == "ell":
             op = EllOperator.from_scipy(A, dtype=dtype)
             return dataclasses.replace(op, backend=backend) if backend else op
+        if format == "bsr" or (isinstance(format, tuple) and format[0] == "bsr"):
+            bs = format[1] if isinstance(format, tuple) else (8, 8)
+            return BsrOperator.from_scipy(A, blocksize=bs, dtype=dtype)
         if format is None:
             if A.shape[0] != A.shape[1]:
                 op = EllOperator.from_scipy(A, dtype=dtype)

@@ -88,3 +88,46 @@ def test_operators_jit_through(rng):
     np.testing.assert_allclose(
         np.asarray(f(A, x)), mark(10) @ np.asarray(x), rtol=1e-12, atol=1e-12
     )
+
+
+class TestBsrOperator:
+    @pytest.mark.parametrize("gen,bs", [
+        (lambda: mark(30), (4, 4)),
+        (lambda: laplace_2d(20), (8, 8)),
+        (lambda: random_sparse(None, 97), (8, 8)),
+    ])
+    def test_matches_scipy(self, gen, bs, rng):
+        from arnoldi_tpu.linop import BsrOperator
+
+        A = gen()
+        op = BsrOperator.from_scipy(A, blocksize=bs)
+        assert op.shape == A.shape
+        assert op.nnz == sp.csr_matrix(A).count_nonzero()
+        x = rng.standard_normal(A.shape[1])
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(jnp.asarray(x))), A @ x, atol=1e-12)
+        X = rng.standard_normal((A.shape[1], 3))
+        np.testing.assert_allclose(
+            np.asarray(op.matmat(jnp.asarray(X))), A @ X, atol=1e-12)
+
+    def test_rectangular(self, rng):
+        from arnoldi_tpu.linop import BsrOperator
+
+        A = sp.random(97, 53, density=0.08,
+                      random_state=np.random.RandomState(0)).tocsr()
+        op = BsrOperator.from_scipy(A, blocksize=(8, 8))
+        assert op.shape == (97, 53)
+        x = rng.standard_normal(53)
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(jnp.asarray(x))), A @ x, atol=1e-12)
+
+    def test_in_solver_via_format(self, rng):
+        from arnoldi_tpu import partial_schur
+        from arnoldi_tpu.linop import as_operator
+
+        op = as_operator(mark(30), format=("bsr", (4, 4)))
+        Q, T, _ = partial_schur(op, 3, sort_function="LR",
+                                stopping_criterion=1e-9, max_restarts=2000)
+        Qh, Th = np.asarray(Q), np.asarray(T)
+        res = np.linalg.norm(mark(30).todense() @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-8)
