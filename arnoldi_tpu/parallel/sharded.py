@@ -17,7 +17,13 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..linop import BandedOperator, CallableOperator, DenseOperator, EllOperator
+from ..linop import (
+    BandedOperator,
+    BsrOperator,
+    CallableOperator,
+    DenseOperator,
+    EllOperator,
+)
 from .mesh import make_mesh, replicated_sharding, row_sharding
 
 
@@ -48,6 +54,15 @@ def shard_operator(op, mesh):
         return BandedOperator(
             jax.device_put(op.bands, bands_spec), op.offsets, op.nnz_stored,
             op.backend,
+        )
+    if isinstance(op, BsrOperator):
+        spec4 = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh.axis_names[0], None, None,
+                                             None))
+        return BsrOperator(
+            jax.device_put(op.blocks, spec4),
+            jax.device_put(op.block_cols, rows2),
+            op.nnz_stored, op.n_cols, op.n_rows,
         )
     if isinstance(op, CallableOperator):
         return op  # closure decides its own placement

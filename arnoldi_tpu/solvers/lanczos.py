@@ -308,7 +308,8 @@ def partial_eigh(
         from ..parallel.mesh import replicated_sharding
 
         n_dev = int(mesh.devices.size)
-        n_solve = -(-n // n_dev) * n_dev
+        gran = n_dev * getattr(op, "row_granularity", 1)
+        n_solve = -(-n // gran) * gran
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
