@@ -12,8 +12,10 @@ from .solvers.krylov_schur import partial_schur
 from .solvers.lanczos import partial_eigh
 from .solvers.spectral_transform import (
     eigs,
+    eigs_realified,
     eigsh,
     generalized_operator,
+    realify_operator,
     shift_invert_operator,
 )
 from .solvers.svd import svds
@@ -40,6 +42,8 @@ __all__ = [
     "svds",
     "shift_invert_operator",
     "generalized_operator",
+    "realify_operator",
+    "eigs_realified",
     "arnoldi_decomposition",
     "RitzDecomposition",
     "History",

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..linop import CallableOperator, as_operator
 from ..utils.sorting import sort_function_for
 
-__all__ = ["shift_invert_operator", "generalized_operator", "eigs", "eigsh"]
+__all__ = ["shift_invert_operator", "generalized_operator",
+           "realify_operator", "eigs", "eigs_realified", "eigsh"]
 
 
 def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
@@ -63,6 +64,101 @@ def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
 
 def _transform_back(theta, sigma):
     return sigma + 1.0 / theta
+
+
+def realify_operator(A, dtype=None):
+    """Real 2n x 2n representation of a COMPLEX operator for complex-free
+    backends (the TPU has no complex dtypes at all).
+
+    ``R = [[Ar, -Ai], [Ai, Ar]]`` acting on stacked ``[Re x; Im x]``.  Its
+    spectrum is the spectrum of A together with its conjugates: each
+    eigenvalue of A appears as a real-Schur 2x2 block (or twice when real),
+    and a complex eigenvector ``w = [w1; w2]`` of R for eigenvalue lambda
+    recovers A's eigenvector as ``z = w1``.  The real Krylov-Schur driver
+    then runs the whole problem in real float32 on TPU.
+    """
+    # Never materialize the complex operator on device (the TPU cannot even
+    # allocate it): inspect the host dtype and split host-side.
+    import scipy.sparse as sp
+
+    a_dtype = getattr(A, "dtype", None)
+    if a_dtype is None:
+        a_dtype = np.asarray(A).dtype
+    if not np.issubdtype(np.dtype(a_dtype), np.complexfloating):
+        raise TypeError("realify_operator expects a complex operator")
+    n = A.shape[0]
+
+    if sp.issparse(A):
+        Ar = as_operator(sp.csr_matrix(A).real.tocsr())
+        Ai = as_operator(sp.csr_matrix(A).imag.tocsr())
+        nnz = Ar.nnz + Ai.nnz
+    else:
+        M = np.asarray(A)
+        Ar = as_operator(np.ascontiguousarray(M.real))
+        Ai = as_operator(np.ascontiguousarray(M.imag))
+        nnz = Ar.nnz + Ai.nnz
+
+    def mv(u):
+        x, y = u[:n], u[n:]
+        return jnp.concatenate([
+            Ar.matvec(x) - Ai.matvec(y),
+            Ai.matvec(x) + Ar.matvec(y),
+        ])
+
+    return CallableOperator(mv, (2 * n, 2 * n), Ar.dtype, nnz=nnz)
+
+
+def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
+                   dtype=None, key=None, return_eigenvectors=True):
+    """Eigenpairs of a COMPLEX matrix computed entirely in real arithmetic
+    via :func:`realify_operator` — the route for complex problems on the
+    complex-free TPU backend.
+
+    The doubled spectrum (lambda and conj(lambda)) is deduplicated by
+    keeping one representative per conjugate-related pair (the one whose
+    eigenvector best reproduces a distinct eigenpair); because conjugation
+    doubles multiplicities, 2k Schur pairs are solved internally.
+    """
+    from .krylov_schur import eigenpairs_from_partial_schur, partial_schur
+
+    R = realify_operator(A, dtype=dtype)
+    n = R.shape[0] // 2
+    sort_function = sort_function_for(which)
+
+    Q, T, hist = partial_schur(
+        R, 2 * k, max_dim=ncv, stopping_criterion=tol,
+        sort_function=sort_function, max_restarts=maxiter, key=key,
+    )
+    vals2, vecs2 = eigenpairs_from_partial_schur(Q, T)
+    vals2 = np.asarray(vals2)
+    vecs2 = np.asarray(vecs2)
+
+    # Extraction + conjugate-copy rejection in one stroke: for any
+    # real-representation eigenpair (lambda, [w1; w2]), z = w1 + i w2
+    # satisfies A z = lambda z when lambda belongs to A's spectrum, and is
+    # IDENTICALLY ZERO for the spurious conjugate copies (whose eigenvectors
+    # have w2 = +i w1).  So keep pairs with a significant z, deduping
+    # repeated values, in the sort order.
+    order = np.asarray(sort_function(vals2))
+    picked_vals, picked_vecs = [], []
+    for i in order:
+        lam = vals2[i]
+        z = vecs2[:n, i] + 1j * vecs2[n:, i]
+        nz = np.linalg.norm(z)
+        if nz < 0.1:            # conjugate copy: the projector annihilates it
+            continue
+        if any(abs(lam - v) < 1e-8 * max(1.0, abs(lam))
+               for v in picked_vals):
+            continue
+        picked_vals.append(lam)
+        picked_vecs.append(z / nz)
+        if len(picked_vals) == k:
+            break
+    vals = np.array(picked_vals)
+    vecs = np.stack(picked_vecs, axis=1) if picked_vecs else np.zeros((n, 0))
+    if return_eigenvectors:
+        return vals, vecs
+    return vals
 
 
 def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
@@ -116,8 +212,24 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     solves against M, or against ``A - sigma M`` when combined with
     ``sigma``).
     """
-    from .krylov_schur import eigenpairs_from_partial_schur, partial_schur
+    from .krylov_schur import (
+        _backend_supports_complex,
+        eigenpairs_from_partial_schur,
+        partial_schur,
+    )
 
+    a_dtype = getattr(A, "dtype", None)
+    if a_dtype is not None and np.issubdtype(np.dtype(a_dtype),
+                                             np.complexfloating) \
+            and not _backend_supports_complex() \
+            and sigma is None and M is None:
+        # Complex operator on the complex-free TPU backend: solve the real
+        # 2n representation instead (see eigs_realified) — checked BEFORE
+        # as_operator so no complex device array is ever allocated.
+        return eigs_realified(
+            A, k, which=which, tol=tol, ncv=ncv, maxiter=maxiter,
+            dtype=None, key=key, return_eigenvectors=return_eigenvectors,
+        )
     op = as_operator(A, dtype=dtype)
     if M is not None:
         if tol is None:

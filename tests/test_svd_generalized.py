@@ -126,3 +126,47 @@ class TestReviewRegressions:
         vals, _ = eigs(A, 1, sigma=sigma, tol=1e-9, maxiter=3000,
                        key=jax.random.key(2))
         assert np.min(np.abs(ref - vals[0])) < 1e-6
+
+
+class TestRealified:
+    """Complex eigenproblems in pure real arithmetic (the TPU route)."""
+
+    def test_dense_complex_matches_arpack(self):
+        rng = np.random.default_rng(0)
+        n = 60
+        A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        from arnoldi_tpu import eigs_realified
+
+        vals, vecs = eigs_realified(A, 4, which="LM", tol=1e-9,
+                                    maxiter=5000, key=jax.random.key(0))
+        ref = np.linalg.eigvals(A)
+        ref = ref[np.argsort(-np.abs(ref))][:4]
+        np.testing.assert_allclose(np.sort_complex(vals),
+                                   np.sort_complex(ref), rtol=1e-7,
+                                   atol=1e-8)
+        res = np.linalg.norm(A @ vecs - vals * vecs, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-7)
+
+    def test_sparse_complex(self):
+        import scipy.sparse.linalg as spla
+
+        S = (sp.random(200, 200, density=0.05,
+                       random_state=np.random.RandomState(1))
+             + 1j * sp.random(200, 200, density=0.05,
+                              random_state=np.random.RandomState(2))
+             + sp.diags_array(np.ones(200))).tocsr()
+        from arnoldi_tpu import eigs_realified
+
+        vals, vecs = eigs_realified(S, 3, which="LM", tol=1e-9,
+                                    maxiter=5000, key=jax.random.key(1))
+        rv = spla.eigs(S, 3, which="LM")[0]
+        np.testing.assert_allclose(np.sort_complex(vals),
+                                   np.sort_complex(rv), rtol=1e-6, atol=1e-8)
+        res = np.linalg.norm(S @ vecs - vals * vecs, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-7)
+
+    def test_realify_rejects_real(self):
+        from arnoldi_tpu import realify_operator
+
+        with pytest.raises(TypeError):
+            realify_operator(np.eye(5))
