@@ -319,8 +319,8 @@ class BsrOperator:
             B.indptr[:-1], degrees)
         blocks[row_ids, slot_ids] = B.data
         cols[row_ids, slot_ids] = B.indices
-        return cls(jnp.asarray(blocks), jnp.asarray(cols),
-                   int(sp.csr_matrix(A).count_nonzero()),
+        nnz_true = int(np.count_nonzero(coo.data))
+        return cls(jnp.asarray(blocks), jnp.asarray(cols), nnz_true,
                    n_cols=int(A.shape[1]), n_rows=int(A.shape[0]))
 
     def tree_flatten(self):
@@ -440,10 +440,20 @@ def as_operator(A, dtype=None, format=None, backend=None):
             op = EllOperator.from_scipy(A, dtype=dtype)
             return dataclasses.replace(op, backend=backend) if backend else op
         if format == "bsr" or (isinstance(format, tuple) and format[0] == "bsr"):
+            if backend:
+                raise ValueError(
+                    "BsrOperator has no alternate backend; drop backend= "
+                    "or use format='ell'/'banded'")
             bs = format[1] if isinstance(format, tuple) else (8, 8)
             return BsrOperator.from_scipy(A, blocksize=bs, dtype=dtype)
         if format is None:
             if A.shape[0] != A.shape[1]:
+                # Rectangular: ELL only; the pallas kernel assumes square
+                # (x indexed by the row dimension), so keep the XLA backend.
+                if backend == "pallas":
+                    raise ValueError(
+                        "the pallas ELL kernel supports square operators "
+                        "only")
                 op = EllOperator.from_scipy(A, dtype=dtype)
                 return dataclasses.replace(op, backend=backend) if backend else op
             # Heuristic: DIA when the matrix is a stencil (few distinct

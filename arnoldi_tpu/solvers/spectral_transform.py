@@ -88,15 +88,19 @@ def realify_operator(A, dtype=None):
         raise TypeError("realify_operator expects a complex operator")
     n = A.shape[0]
 
+    rdt = None
+    if dtype is not None:
+        d = np.dtype(dtype)
+        rdt = np.finfo(d).dtype if np.issubdtype(d, np.complexfloating) else d
     if sp.issparse(A):
-        Ar = as_operator(sp.csr_matrix(A).real.tocsr())
-        Ai = as_operator(sp.csr_matrix(A).imag.tocsr())
-        nnz = Ar.nnz + Ai.nnz
+        C = sp.csr_matrix(A)
+        Ar = as_operator(C.real.tocsr(), dtype=rdt)
+        Ai = as_operator(C.imag.tocsr(), dtype=rdt)
     else:
         M = np.asarray(A)
-        Ar = as_operator(np.ascontiguousarray(M.real))
-        Ai = as_operator(np.ascontiguousarray(M.imag))
-        nnz = Ar.nnz + Ai.nnz
+        Ar = as_operator(np.ascontiguousarray(M.real), dtype=rdt)
+        Ai = as_operator(np.ascontiguousarray(M.imag), dtype=rdt)
+    nnz = Ar.nnz + Ai.nnz
 
     def mv(u):
         x, y = u[:n], u[n:]
@@ -109,7 +113,8 @@ def realify_operator(A, dtype=None):
 
 
 def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
-                   dtype=None, key=None, return_eigenvectors=True):
+                   dtype=None, ortho="cgs_dgks", key=None, block_size=2,
+                   return_eigenvectors=True):
     """Eigenpairs of a COMPLEX matrix computed entirely in real arithmetic
     via :func:`realify_operator` — the route for complex problems on the
     complex-free TPU backend.
@@ -121,13 +126,27 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     """
     from .krylov_schur import eigenpairs_from_partial_schur, partial_schur
 
+    if which not in ("LM", "LR", "SM", "SR"):
+        raise NotImplementedError(
+            f"which={which!r} is not conjugation-invariant: the realified "
+            "spectrum contains conj(lambda) copies that would displace the "
+            "wanted set; use LM/LR/SM/SR, or run on CPU with the complex "
+            "path")
     R = realify_operator(A, dtype=dtype)
     n = R.shape[0] // 2
     sort_function = sort_function_for(which)
 
+    # nev doubles (lambda + conj copies share the sort rank for the
+    # conjugation-invariant criteria above), so the Krylov dimension must
+    # scale with it.
+    # The real representation doubles every multiplicity (lambda appears
+    # with its conjugate-pair 2x2 block structure), so a block size >= 2 is
+    # structurally right — it also lets genuine multiplicities of A surface,
+    # which a single-vector Krylov space cannot.
     Q, T, hist = partial_schur(
-        R, 2 * k, max_dim=ncv, stopping_criterion=tol,
-        sort_function=sort_function, max_restarts=maxiter, key=key,
+        R, 2 * k, max_dim=2 * ncv if ncv else None, stopping_criterion=tol,
+        sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
+        key=key, block_size=block_size,
     )
     vals2, vecs2 = eigenpairs_from_partial_schur(Q, T)
     vals2 = np.asarray(vals2)
@@ -147,11 +166,20 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
         nz = np.linalg.norm(z)
         if nz < 0.1:            # conjugate copy: the projector annihilates it
             continue
-        if any(abs(lam - v) < 1e-8 * max(1.0, abs(lam))
-               for v in picked_vals):
+        z = z / nz
+        # Dedup by eigenvector DIRECTION, not value: a real eigenvalue of A
+        # yields two real-representation copies whose z land in the same
+        # 1-D span (collapse them), while a genuinely multiple eigenvalue
+        # has independent eigenvectors (keep both).
+        dup = any(
+            abs(lam - v) < 1e-6 * max(1.0, abs(lam))
+            and abs(np.vdot(pz, z)) > 0.99
+            for v, pz in zip(picked_vals, picked_vecs)
+        )
+        if dup:
             continue
         picked_vals.append(lam)
-        picked_vecs.append(z / nz)
+        picked_vecs.append(z)
         if len(picked_vals) == k:
             break
     vals = np.array(picked_vals)
@@ -228,7 +256,8 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         # as_operator so no complex device array is ever allocated.
         return eigs_realified(
             A, k, which=which, tol=tol, ncv=ncv, maxiter=maxiter,
-            dtype=None, key=key, return_eigenvectors=return_eigenvectors,
+            dtype=dtype, ortho=ortho, key=key,
+            return_eigenvectors=return_eigenvectors,
         )
     op = as_operator(A, dtype=dtype)
     if M is not None:
@@ -315,14 +344,12 @@ def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
         solve_op = shift_invert_operator(
             op, sigma, solver=inner_solver, inner_tol=itol)
         # scipy contract: under shift-invert, `which` selects on the
-        # TRANSFORMED eigenvalues nu = 1/(lambda - sigma).  The scipy
-        # default which='LM' therefore means "nearest sigma"; our eigsh
-        # default 'LA' maps to scipy's 'LM' semantics here.
-        trans_which = "LM" if which in ("LA", "LM") and sigma is not None             and which == "LA" else which
-        if trans_which not in SYM_SORTS:
+        # TRANSFORMED eigenvalues nu = 1/(lambda - sigma): the default 'LM'
+        # means "nearest sigma", 'LA' means "just above sigma".
+        if which not in SYM_SORTS:
             raise ValueError(f"which={which!r} not supported with sigma")
         theta, vecs, hist = partial_eigh(
-            solve_op, k, which=trans_which, max_dim=ncv,
+            solve_op, k, which=which, max_dim=ncv,
             stopping_criterion=tol, max_restarts=maxiter, dtype=dtype,
             key=key, block_size=block_size,
         )
