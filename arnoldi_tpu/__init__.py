@@ -8,7 +8,10 @@ and parallel utilities that the TPU-native design adds.
 """
 
 from ._version import __version__
-from .solvers.krylov_schur import partial_schur
+from .solvers.krylov_schur import (
+    eigenpairs_from_partial_schur,
+    partial_schur,
+)
 from .solvers.lanczos import partial_eigh
 from .solvers.spectral_transform import (
     eigs,
@@ -36,6 +39,7 @@ from .linop import (
 __all__ = [
     "__version__",
     "partial_schur",
+    "eigenpairs_from_partial_schur",
     "partial_eigh",
     "eigs",
     "eigsh",
