@@ -100,3 +100,29 @@ def test_sharded_float32_real_path(mesh):
     Qh, Th = np.asarray(Q), np.asarray(T)
     res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
     np.testing.assert_allclose(res, 0, atol=2e-3)
+
+
+def test_scaling_bench_mechanism(mesh):
+    # Virtual CPU devices share one core, so only the MECHANISM is under
+    # test: runs per device count, reports rates and efficiencies.
+    from arnoldi_tpu.harness.scaling_bench import run_scaling
+
+    results = run_scaling(n_grid=60, device_counts=(1, 2), max_dim=12,
+                          cycles=1)
+    assert [r["devices"] for r in results] == [1, 2]
+    assert all(r["nnz_per_s"] > 0 for r in results)
+    assert results[0]["efficiency"] == 1.0
+
+
+def test_multihost_helpers(mesh):
+    from arnoldi_tpu.parallel.multihost import (
+        initialize,
+        make_slice_mesh,
+        process_local_rows,
+    )
+
+    initialize()  # single-process: must be a no-op
+    m = make_slice_mesh()
+    assert m.devices.size == len(jax.devices())
+    lo, hi = process_local_rows(1000, m)
+    assert (lo, hi) == (0, 1000)  # single process owns everything
