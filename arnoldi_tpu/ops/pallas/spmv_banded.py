@@ -42,33 +42,42 @@ def banded_matvec_pallas(bands, x, offsets, *, interpret=False,
     n_pad = _ceil_to(n, block)
 
     # x staged as (1, n_pad + 2*halo_pad) with zero halos; bands (k, n_pad).
-    xp = jnp.zeros((1, n_pad + 2 * halo_pad), dtype=out_dtype)
+    xp = jnp.zeros((8, n_pad + 2 * halo_pad), dtype=out_dtype)
     xp = jax.lax.dynamic_update_slice(
         xp, x.astype(out_dtype)[None, :], (0, halo_pad))
-    bp = jnp.zeros((k, n_pad), dtype=out_dtype)
+    # Pad the band count to a full sublane tile (Mosaic rejects sub-8
+    # sublane block shapes on some toolchains).
+    k_pad = -(-k // 8) * 8
+    bp = jnp.zeros((k_pad, n_pad), dtype=out_dtype)
     bp = jax.lax.dynamic_update_slice(bp, bands.astype(out_dtype), (0, 0))
 
     grid = (n_pad // block,)
 
     def kernel(b_ref, x_ref, o_ref):
         i = pl.program_id(0)
-        base = i * block + halo_pad
+        # One ALIGNED dynamic window per tile (start = i*block, a lane
+        # multiple); the per-diagonal offsets are applied as STATIC slices
+        # of the window — Mosaic handles static unaligned slices but not
+        # unaligned dynamic ones.
+        win = x_ref[0:1, pl.ds(pl.multiple_of(i * block, 128),
+                               block + 2 * halo_pad)]
         acc = jnp.zeros((1, block), dtype=out_dtype)
         for d, off in enumerate(offsets):
-            seg = x_ref[:, pl.ds(base + int(off), block)]
+            lo = halo_pad + int(off)
+            seg = win[:, lo : lo + block]
             acc = acc + b_ref[d:d + 1, :] * seg
-        o_ref[:, :] = acc
+        o_ref[:, :] = jnp.broadcast_to(acc, o_ref.shape)
 
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((k, block), lambda i: (0, i),
+            pl.BlockSpec((k_pad, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # full haloed x
         ],
-        out_specs=pl.BlockSpec((1, block), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(bp, xp)
