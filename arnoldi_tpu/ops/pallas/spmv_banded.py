@@ -11,6 +11,12 @@ band tile through once, and accumulates in registers: bytes moved
 Current limit: ``x`` must fit in VMEM (~16 MB => n up to ~4M float32);
 beyond that the operator falls back to the XLA path.  A double-buffered
 windowed variant is the follow-up for larger n.
+
+Measured on-chip (n = 2.1M pentadiagonal, replay-proof): 1.66 ms/matvec vs
+1.23 ms for the XLA shift-add path — XLA's fusion currently wins (this
+kernel still pads its output to 8 sublane copies), so the XLA backend
+remains the default; the kernel is kept as the explicit-staging variant
+and the basis for the halo-exchange/remote-DMA follow-up.
 """
 
 from functools import partial
