@@ -51,13 +51,21 @@ def make_slice_mesh(axis_name="rows"):
     return Mesh(np.array(devs), (axis_name,))
 
 
-def process_local_rows(n, mesh, axis_name="rows"):
+def process_local_rows(n, mesh, axis_name="rows", row_granularity=1):
     """The [start, stop) global row range owned by this process under the
-    framework's row partition (for per-host data loading)."""
+    framework's row partition (for per-host data loading).
+
+    Matches the solver's padding rule (``krylov_schur.partial_schur``): the
+    row dimension is padded to a multiple of ``n_dev * row_granularity``
+    (``row_granularity`` is the operator's block size — 8 for BSR-8, 1
+    otherwise), so shard boundaries fall on multiples of the *padded*
+    per-device size, clamped back to ``n``."""
     n_dev = int(mesh.devices.size)
-    per_dev = -(-n // n_dev)
+    gran = n_dev * int(row_granularity)
+    n_solve = -(-n // gran) * gran
+    per_dev = n_solve // n_dev
     my = [i for i, d in enumerate(mesh.devices.flat)
           if d.process_index == jax.process_index()]
     if not my:
         return 0, 0
-    return min(my) * per_dev, min((max(my) + 1) * per_dev, n)
+    return min(min(my) * per_dev, n), min((max(my) + 1) * per_dev, n)

@@ -179,8 +179,6 @@ def partial_schur(
         assert nev <= p < max_dim, (
             f"block geometry failed: nev={nev}, p={p}, max_dim={max_dim}, "
             f"b={b}; increase max_dim")
-        assert not checkpoint_path, (
-            "checkpointing with block_size > 1 is not supported yet")
     else:
         if p is None:
             p = min(nev + 5, max_dim - 1)
@@ -255,16 +253,16 @@ def partial_schur(
         from ..utils.checkpoint import load_checkpoint
 
         ck = load_checkpoint(checkpoint_path)
-        assert ck.V.shape == (max_dim + 1, n_solve), (
+        assert ck.V.shape == (max_dim + b, n_solve), (
             f"checkpoint shape {ck.V.shape} does not match workspace "
-            f"{(max_dim + 1, n_solve)}")
+            f"{(max_dim + b, n_solve)}")
         V = jnp.asarray(ck.V.astype(wdtype))
         H = jnp.asarray(ck.H_hp.astype(wdtype))
         if mesh is not None:
             from ..parallel.sharded import shard_workspace
 
             V, H = shard_workspace(V, H, mesh)
-        H_trunc_hp = ck.H_hp[: ck.pa + 1, : ck.pa].copy()
+        H_trunc_hp = ck.H_hp[: ck.pa + b, : ck.pa].copy()
         prev_pa = ck.pa
         history.matvecs[:] = ck.matvecs
         history.restarts[:] = ck.restarts
@@ -429,7 +427,8 @@ def partial_schur(
         if checkpoint_path:
             # Two-dispatch path so the restart-boundary (truncated) state is
             # materializable for the checkpoint.
-            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m)
+            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m,
+                                carry=b)
             if (restart + 1) % max(checkpoint_every, 1) == 0:
                 from ..utils.checkpoint import (
                     RestartCheckpoint,
@@ -443,9 +442,17 @@ def partial_schur(
                     restarts=history.restarts.copy(),
                     residual_trace=list(history.residual_trace),
                 ))
-            V, H, n_iter = arnoldi_expand(
-                op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
-            )
+            if b > 1:
+                from .decomposition import _block_expand_jit
+
+                V, H, jb = _block_expand_jit(
+                    op, V, H, tol, start_block=pa // b,
+                    n_blocks=max_dim // b, b=b)
+                n_iter = int(jb) * b
+            else:
+                V, H, n_iter = arnoldi_expand(
+                    op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
+                )
         elif b > 1:
             from .decomposition import _block_expand_jit
 
@@ -457,11 +464,11 @@ def partial_schur(
         else:
             # Fused single-dispatch restart step.
             from ..ops.ortho import resolve_ortho as _r  # noqa: F401
+            # jnp.finfo of a complex dtype yields the matching real dtype
+            # (float64 for complex128), preserving the x64 breakdown tol.
             V, H, n_iter = _truncate_and_expand(
                 op, V, jnp.asarray(Qp, dtype=wdtype), H,
-                jnp.asarray(tol, jnp.finfo(wdtype).dtype
-                            if not np.issubdtype(wdtype, np.complexfloating)
-                            else jnp.finfo(np.float32).dtype),
+                jnp.asarray(tol, jnp.finfo(wdtype).dtype),
                 p=pa, m=m, max_dim=max_dim, ortho=ortho,
             )
         m_new = int(n_iter)

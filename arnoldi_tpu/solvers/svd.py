@@ -1,11 +1,14 @@
 """Partial SVD via thick-restart Lanczos (``svds``).
 
-scipy.sparse.linalg.svds-compatible: the largest (or smallest, via
-shift-invert on the Gram operator) ``k`` singular triplets of a rectangular
+scipy.sparse.linalg.svds-compatible: the largest (``which='LM'``) or
+smallest (``which='SM'``) ``k`` singular triplets of a rectangular
 operator.  Built entirely from existing framework pieces: Lanczos runs on
-the Gram operator ``A^H A`` (one extra matvec per iteration, no explicit
-Gram matrix), singular values are ``sqrt(theta)``, right vectors are the
-Ritz vectors, and left vectors are recovered as ``A v / sigma``.
+the Gram operator over the *smaller* dimension — ``A^H A`` when ``A`` is
+tall, ``A A^H`` when ``A`` is wide (the internal-transpose trick the
+reference's scipy comparison path relies on) — with one extra matvec per
+iteration and no explicit Gram matrix.  Singular values are
+``sqrt(theta)``; the missing singular-vector side is recovered as
+``A v / sigma`` (or ``A^H u / sigma``).
 """
 
 import numpy as np
@@ -17,39 +20,49 @@ from ..linop import CallableOperator, as_operator
 
 __all__ = ["svds"]
 
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
          dtype=None, key=None, block_size=1,
          return_singular_vectors=True):
-    """Compute the ``k`` largest singular triplets of ``A`` (n x m, n >= m
-    or transposed internally).
+    """Compute ``k`` singular triplets of ``A`` (any shape; wide matrices
+    are handled by running Lanczos on ``A A^H`` internally).
 
     Returns ``(U, s, Vh)`` like scipy.sparse.linalg.svds (with ``s``
     ascending), or just ``s`` when ``return_singular_vectors=False``.
+    ``which='LM'`` selects the largest singular values, ``'SM'`` the
+    smallest (slow convergence, like ARPACK without shift-invert — prefer
+    modest ``k`` and generous ``maxiter``).
     """
-    if which != "LM":
-        raise NotImplementedError(
-            "svds currently supports which='LM' (largest singular values); "
-            "use eigsh with a shift on the Gram operator for the smallest")
+    if which not in ("LM", "SM"):
+        raise ValueError(
+            f"which={which!r}: expected 'LM' (largest) or 'SM' (smallest)")
 
     op = as_operator(A, dtype=dtype)
     n_rows, n_cols = op.shape
 
-    # Work with the smaller Gram dimension: A^H A (m x m) if m <= n.
+    # Lanczos runs on the Gram operator over the smaller dimension.
     transposed = n_rows < n_cols
     if transposed:
-        raise NotImplementedError(
-            "svds requires n_rows >= n_cols; pass A.T and swap U/Vh")
+        gram_dim = n_rows
 
-    def gram_mv(x):
-        return _rmatvec(op, op.matvec(x))
+        def gram_mv(x):
+            return op.matvec(_rmatvec(op, x))
+    else:
+        gram_dim = n_cols
 
-    gram = CallableOperator(gram_mv, (n_cols, n_cols), op.dtype, nnz=op.nnz)
+        def gram_mv(x):
+            return _rmatvec(op, op.matvec(x))
+
+    gram = CallableOperator(gram_mv, (gram_dim, gram_dim), op.dtype,
+                            nnz=op.nnz)
 
     from .lanczos import partial_eigh
 
-    theta, V, hist = partial_eigh(
-        gram, k, which="LA", max_dim=ncv, stopping_criterion=tol,
+    eig_which = "LA" if which == "LM" else "SA"
+    theta, W, hist = partial_eigh(
+        gram, k, which=eig_which, max_dim=ncv, stopping_criterion=tol,
         max_restarts=maxiter, dtype=dtype, key=key, block_size=block_size,
     )
     theta = np.maximum(np.asarray(theta), 0.0)
@@ -58,30 +71,56 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     if not return_singular_vectors:
         return s
 
-    V = jnp.asarray(V)[:, jnp.asarray(order)]
-    AV = op.matmat(V)  # (n, k)
-    safe = jnp.asarray(np.where(s == 0, 1.0, s), dtype=AV.dtype)
-    U = AV / safe[None, :]
-    # Re-normalize U columns (guards tiny sigma roundoff).
-    norms = jnp.linalg.norm(U, axis=0)
-    U = U / jnp.where(norms == 0, 1.0, norms)[None, :]
+    W = jnp.asarray(W)[:, jnp.asarray(order)]
+    safe = np.where(s == 0, 1.0, s)
+    if transposed:
+        # gram = A A^H: W holds left singular vectors; V = A^H U / sigma.
+        U = W
+        V = _rmatmat(op, U) / jnp.asarray(safe, U.dtype)[None, :]
+        V = _renormalize(V)
+    else:
+        # gram = A^H A: W holds right singular vectors; U = A V / sigma.
+        V = W
+        U = op.matmat(V) / jnp.asarray(safe, V.dtype)[None, :]
+        U = _renormalize(U)
     return np.asarray(U), s, np.asarray(V).conj().T
 
 
+def _renormalize(X):
+    """Unit-normalize columns (guards tiny-sigma roundoff; a zero column —
+    exact null-space direction recovered with sigma=0 — is left as-is)."""
+    norms = jnp.linalg.norm(X, axis=0)
+    return X / jnp.where(norms == 0, 1.0, norms)[None, :]
+
+
 def _rmatvec(op, y):
-    """``A^H y`` for the framework operators (square general case uses the
-    explicit adjoint where cheap; ELL/banded fall back to jnp ops)."""
-    from ..linop import BandedOperator, DenseOperator, EllOperator
+    """``A^H y`` for the framework operators (dense/ELL/BSR/banded; wrap
+    anything else in a CallableOperator providing the Gram matvec)."""
+    from ..linop import (BandedOperator, BsrOperator, DenseOperator,
+                         EllOperator)
 
     if isinstance(op, DenseOperator):
-        return jnp.matmul(op.A.conj().T, y,
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.matmul(op.A.conj().T, y, precision=_PREC)
     if isinstance(op, EllOperator):
         # scatter-add of y[r] * conj(data[r, l]) into cols[r, l]
         n = op.shape[1]
         contrib = (op.data.conj() * y[:, None]).reshape(-1)
         idx = op.cols.reshape(-1)
         return jnp.zeros(n, contrib.dtype).at[idx].add(contrib)
+    if isinstance(op, BsrOperator):
+        # Block scatter-add: x_block[cols[i,l]] += blocks[i,l]^H @ y_block[i]
+        # (mirrors BsrOperator.matvec's block gather; auto-selected format
+        # on the TPU backend, linop.py as_operator).
+        r, c = op.blockshape
+        n_row_pad = op.blocks.shape[0] * r
+        yp = jnp.zeros(n_row_pad, y.dtype).at[: op.shape[0]].set(y)
+        yb = yp.reshape(-1, r)                       # (n_brow, r)
+        contrib = jnp.einsum("blrc,br->blc", op.blocks.conj(), yb,
+                             precision=_PREC)        # (n_brow, L, c)
+        n_bcol = -(-op.shape[1] // c)
+        out = jnp.zeros((n_bcol, c), contrib.dtype)
+        out = out.at[op.block_cols.reshape(-1)].add(contrib.reshape(-1, c))
+        return out.reshape(-1)[: op.shape[1]]
     if isinstance(op, BandedOperator):
         # (A^H y)[j] = sum_d conj(bands[d][j - off]) * y[j - off]
         n = op.shape[0]
@@ -98,3 +137,12 @@ def _rmatvec(op, y):
     raise TypeError(
         f"adjoint matvec not implemented for {type(op).__name__}; "
         "wrap A with a CallableOperator providing the Gram matvec directly")
+
+
+def _rmatmat(op, Y):
+    """``A^H Y`` column-wise (the dense tier gets one gemm)."""
+    from ..linop import DenseOperator
+
+    if isinstance(op, DenseOperator):
+        return jnp.matmul(op.A.conj().T, Y, precision=_PREC)
+    return jax.vmap(lambda y: _rmatvec(op, y), in_axes=1, out_axes=1)(Y)

@@ -22,7 +22,7 @@ from .history import History
 class RestartCheckpoint:
     """Solver state at a restart boundary (just before re-expansion)."""
 
-    V: np.ndarray          # (n_solve, m+1) basis workspace
+    V: np.ndarray          # (m+b, n_solve) transposed basis workspace
     H_hp: np.ndarray       # (m+1, m) high-precision projected matrix
     pa: int                # active compressed size (start_dim of next expand)
     restart: int           # restarts completed

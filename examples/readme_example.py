@@ -15,7 +15,7 @@ if jax.default_backend() != "tpu":
 
 from arnoldi_tpu import partial_schur
 from arnoldi_tpu.matrices import mark
-from arnoldi_tpu.models import eigenpairs_from_partial_schur
+from arnoldi_tpu import eigenpairs_from_partial_schur
 
 
 def main():

@@ -65,6 +65,36 @@ def test_checkpoint_every(tmp_path):
     assert ck.restart == 6  # last multiple of 3 within the budget
 
 
+def test_block_driver_checkpoint_resume(tmp_path):
+    # block_size > 1 (the flagship throughput config) must be resumable.
+    A = mark(15)
+    kwargs = dict(
+        max_dim=16, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5), block_size=2,
+    )
+    ckpt = str(tmp_path / "blk.npz")
+
+    Q_ref, T_ref, h_ref = partial_schur(A, 3, max_restarts=5000, **kwargs)
+    total_restarts = int(h_ref.restarts.max())
+    assert total_restarts > 2, "need a multi-restart problem for this test"
+
+    budget = max(1, total_restarts // 2)
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=budget, checkpoint_path=ckpt,
+                      **kwargs)
+    ck = load_checkpoint(ckpt)
+    assert ck.restart == budget
+
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T_ref)))
+    v2 = np.sort_complex(np.linalg.eigvals(Th))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+
+
 def test_resume_without_file_starts_fresh(tmp_path):
     A = mark(10)
     Q, T, _ = partial_schur(

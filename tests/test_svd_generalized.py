@@ -42,12 +42,47 @@ class TestSvds:
         ref = np.linalg.svd(A, compute_uv=False)[:4]
         np.testing.assert_allclose(s[::-1], ref, rtol=1e-8)
 
-    def test_unsupported_modes(self):
+    def test_wide_matrix_internal_transpose(self):
+        # n_rows < n_cols: Lanczos must run on A A^H internally.
         rng = np.random.default_rng(4)
-        with pytest.raises(NotImplementedError):
-            svds(rng.standard_normal((20, 20)), 2, which="SM")
-        with pytest.raises(NotImplementedError):
-            svds(rng.standard_normal((20, 30)), 2)  # n_rows < n_cols
+        A = rng.standard_normal((20, 35))
+        U, s, Vh = svds(A, 4, tol=1e-10, maxiter=3000, key=jax.random.key(4))
+        ref = np.linalg.svd(A, compute_uv=False)[:4]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-9)
+        assert U.shape == (20, 4) and Vh.shape == (4, 35)
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s, atol=1e-8)
+        np.testing.assert_allclose(Vh @ Vh.conj().T, np.eye(4), atol=1e-8)
+
+    def test_smallest_singular_values(self):
+        # which='SM' runs Lanczos for the smallest Gram eigenvalues.
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((40, 25)) + 3 * np.eye(40, 25)
+        U, s, Vh = svds(A, 3, which="SM", tol=1e-10, maxiter=8000,
+                        ncv=20, key=jax.random.key(5))
+        ref = np.sort(np.linalg.svd(A, compute_uv=False))[:3]
+        np.testing.assert_allclose(np.sort(s), ref, rtol=1e-7)
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s, atol=1e-7)
+
+    def test_bsr_adjoint_matvec(self):
+        # svds over an explicitly-BSR operator (the auto-selected TPU
+        # format) exercises the block scatter-add adjoint.
+        from arnoldi_tpu.linop import BsrOperator
+        from arnoldi_tpu.solvers.svd import _rmatvec
+
+        rng = np.random.default_rng(6)
+        S = sp.random(48, 30, density=0.2, random_state=np.random.RandomState(6)).tocsr()
+        op = BsrOperator.from_scipy(S, blocksize=(8, 8))
+        y = rng.standard_normal(48)
+        np.testing.assert_allclose(np.asarray(_rmatvec(op, y)),
+                                   S.T @ y, atol=1e-12)
+        U, s, Vh = svds(op, 3, tol=1e-10, maxiter=3000, key=jax.random.key(6))
+        ref = np.linalg.svd(S.todense(), compute_uv=False)[:3]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-8)
+
+    def test_bad_which_raises(self):
+        rng = np.random.default_rng(4)
+        with pytest.raises(ValueError, match="which"):
+            svds(rng.standard_normal((20, 20)), 2, which="XX")
 
 
 class TestGeneralized:
