@@ -222,11 +222,14 @@ class BandedOperator:
             # diagonal, i.e. A[i - off, i]; our convention wants
             # bands[k][r] = A[r, r + off].
             diag = np.zeros(n, dtype=d.data.dtype)
+            # scipy may store data narrower than n (trailing all-zero
+            # columns trimmed) — clamp the copy to the stored width.
+            W = d.data.shape[1]
             if off >= 0:
-                m = n - off
+                m = min(n - off, max(W - off, 0))
                 diag[:m] = d.data[k, off : off + m]
             else:
-                m = n + off
+                m = min(n + off, W)
                 diag[-off : -off + m] = d.data[k, : m]
             bands[k] = diag
         nnz = int(sp.csr_matrix(A).count_nonzero())

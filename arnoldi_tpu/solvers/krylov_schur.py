@@ -106,6 +106,7 @@ def partial_schur(
     checkpoint_every=1,
     resume=False,
     block_size=1,
+    refine="auto",
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -144,6 +145,16 @@ def partial_schur(
         to b vectors per step (matmat) with two block-gemm projections +
         CholQR2 intra-block orthogonalization. Finds eigenvalues of
         multiplicity up to b and amortizes basis passes across b matvecs.
+    refine : "auto" (default), "dw", or None/"none".  Double-word
+        refinement for tolerances beyond the float32 floor on an f64-free
+        device (the TPU): the f32 solve runs to a coarse tolerance, then
+        the SAME Krylov-Schur loop continues in compensated float32-pair
+        arithmetic (``solvers/refine.py``) warm-started from the f32 Schur
+        basis, down to ``stopping_criterion``.  "auto" engages when the
+        work dtype is real float32, the requested tolerance is < 1e-6, and
+        no mesh is given.  When refinement runs, the returned Q and T are
+        float64 HOST arrays (a plain f32 array cannot represent a 1e-8
+        subspace).
 
     Returns
     -------
@@ -186,6 +197,30 @@ def partial_schur(
     assert max_dim <= n
 
     wdtype = _solver_dtype(op.dtype, dtype)
+
+    # Double-word refinement: run the f32 phase to a coarse tolerance, then
+    # continue in compensated arithmetic down to the requested one.
+    tol_target = tol
+    is_real_w = np.issubdtype(np.dtype(wdtype), np.floating)
+    if refine in (None, "none", False):
+        do_refine = False
+    elif refine == "dw":
+        do_refine = True
+    elif refine == "auto":
+        from ..linop import (BandedOperator, BsrOperator, DenseOperator,
+                             EllOperator)
+
+        do_refine = (
+            is_real_w and np.dtype(wdtype) == np.float32 and mesh is None
+            and tol < 1e-6
+            and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
+                                EllOperator)))
+    else:
+        raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
+    if do_refine:
+        assert is_real_w and mesh is None, (
+            "dw refinement requires the real float32 path without a mesh")
+        tol = max(tol, 2e-4)  # f32-phase tolerance (the f32 residual floor)
 
     # Mesh execution pads the row dimension so every shard is the same size
     # (padding rows/columns are exactly zero and never enter the Krylov
@@ -479,6 +514,25 @@ def partial_schur(
 
     if not has_converged:
         raise ValueError("Has not converged !")
+
+    if do_refine and tol_target < tol:
+        # Double-word phase: same restart loop, compensated arithmetic,
+        # warm-started from the converged f32 Schur basis.
+        from .refine import (build_cast_residual_operator, cast_operator_f32,
+                             refine_schur_dw, refinement_start_vector)
+
+        op32 = cast_operator_f32(op)
+        v0r = refinement_start_vector(np.asarray(V), max(nev_ret, 1))
+        op_lo = build_cast_residual_operator(A, op32)
+        Qr, Tr, r_extra, mv_extra = refine_schur_dw(
+            op32, v0r, nev, max_dim=max_dim, p=min(p, max_dim - 1),
+            tol=tol_target, sort_function=sort_function,
+            max_restarts=max_restarts, op_lo=op_lo)
+        history.total = total_matvecs + mv_extra
+        history.matvecs[:] = history.total
+        history.restarts[:] = history.restarts + r_extra
+        history.residual_trace.append(float(tol_target))
+        return Qr, Tr, history
 
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
     schur_mat = jnp.asarray(H_new[:nev_ret, :nev_ret].astype(wdtype))

@@ -238,6 +238,7 @@ def partial_eigh(
     mesh=None,
     block_size=1,
     device_loop=None,
+    refine="auto",
 ):
     """Compute ``nev`` extremal eigenpairs of a HERMITIAN operator by
     thick-restart Lanczos.
@@ -258,6 +259,12 @@ def partial_eigh(
     multiplicity up to b (a single-vector Krylov space provably cannot) and
     amortizes every pass over the basis across b matvecs — the
     communication-avoiding structure that suits the MXU.
+
+    ``refine``: like :func:`arnoldi_tpu.partial_schur` — "auto" engages
+    double-word refinement (``solvers/refine.py``) when the work dtype is
+    real float32 and ``stopping_criterion`` < 1e-6, delivering 1e-8-grade
+    residuals on the f64-free TPU; the refined eigenvectors come back as
+    float64 host arrays.
 
     Returns ``(eigenvalues, eigenvectors, history)`` — eigenvalues are
     real and WANTED-FIRST ordered (e.g. descending for "LA"); the
@@ -296,6 +303,44 @@ def partial_eigh(
             np.result_type(op.dtype, np.float32))
     else:
         wdtype = _solver_dtype(op.dtype, dtype)
+
+    # Double-word refinement (see partial_schur): coarse f32 phase, then
+    # compensated restarts to the requested tolerance.
+    tol_target = tol
+    if refine in (None, "none", False):
+        do_refine = False
+    elif refine == "dw":
+        do_refine = True
+    elif refine == "auto":
+        from ..linop import (BandedOperator, BsrOperator, DenseOperator,
+                             EllOperator)
+
+        do_refine = (
+            np.dtype(wdtype) == np.float32 and mesh is None and tol < 1e-6
+            and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
+                                EllOperator)))
+    else:
+        raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
+    if do_refine:
+        assert mesh is None and np.issubdtype(np.dtype(wdtype), np.floating)
+        tol = max(tol, 2e-4)
+
+    def _refine_result(V_rows, hist):
+        from .refine import (build_cast_residual_operator, cast_operator_f32,
+                             refine_schur_dw, refinement_start_vector)
+
+        op32 = cast_operator_f32(op)
+        v0r = refinement_start_vector(np.asarray(V_rows), nev)
+        op_lo = build_cast_residual_operator(A, op32)
+        Qr, Tr, r_extra, mv_extra = refine_schur_dw(
+            op32, v0r, nev, max_dim=max_dim, p=min(p, max_dim - 1),
+            tol=tol_target, sort_function=sort_function,
+            max_restarts=max_restarts, op_lo=op_lo)
+        hist.total = hist.total_matvecs + mv_extra
+        hist.matvecs[:] = hist.total
+        hist.restarts[:] = hist.restarts + r_extra
+        vals = np.diag(Tr)[:nev].copy()
+        return vals, Qr[:, :nev], hist
 
     selective = ortho == "selective"
     if selective:
@@ -380,6 +425,8 @@ def partial_eigh(
             history.total = total
             if not bool(conv):
                 raise ValueError("Has not converged !")
+            if do_refine and tol_target < tol:
+                return _refine_result(Vd[:nev], history)
             eigenvalues = np.real(np.asarray(theta)[:nev])
             eigenvectors = Vd[:nev, :n].T
             return eigenvalues, eigenvectors, history
@@ -490,6 +537,8 @@ def partial_eigh(
     if not has_converged:
         raise ValueError("Has not converged !")
 
+    if do_refine and tol_target < tol:
+        return _refine_result(V[:nev], history)
     eigenvalues = np.real(theta_final[:nev])
     eigenvectors = V[:nev, :n].T
     return eigenvalues, eigenvectors, history
