@@ -227,6 +227,18 @@ def cgs2(Vt, w, n_active, *, tol=1e-8, eta=None):
     return c1 + c2, w, beta, beta < tol
 
 
+def cgs2_pallas(Vt, w, n_active, *, tol=1e-8, eta=None):
+    """Fused Pallas CGS2 (see ``ops/pallas/ortho_fused.py``): the update
+    matmul and the norm accumulate in ONE streaming pass over the basis,
+    which the XLA path cannot fuse (it materializes w' then re-reads it).
+    Real dtypes only; interpret-mode off-TPU so tests exercise the same
+    code path."""
+    from .pallas.ortho_fused import cgs2_pallas as _impl
+
+    return _impl(Vt, w, n_active, tol=tol,
+                 interpret=jax.default_backend() != "tpu")
+
+
 #: Registry used by solver drivers ("ortho" kwarg).
 ORTHO_KERNELS = {
     "cgs_dgks": cgs_dgks,
@@ -237,6 +249,8 @@ ORTHO_KERNELS = {
     "cgs2": cgs2,
     "cgs": partial(cgs_dgks, eta=0.0),
     "mgs": partial(mgs_dgks, eta=0.0),
+    # Fused Pallas CGS2 (TPU; interpret-mode elsewhere).
+    "cgs2_pallas": cgs2_pallas,
 }
 
 

@@ -83,3 +83,31 @@ class TestOrthoFusedPallas:
         # orthogonality of the result
         proj = np.asarray(self.V[: self.j, :]) @ np.asarray(w2)
         np.testing.assert_allclose(proj, 0, atol=1e-4)
+
+
+class TestPallasOrthoInSolver:
+    """cgs2_pallas is registered in ORTHO_KERNELS and drives the solver
+    end-to-end (interpret mode on CPU; the real kernel on TPU)."""
+
+    def test_registered(self):
+        from arnoldi_tpu.ops.ortho import ORTHO_KERNELS
+
+        assert "cgs2_pallas" in ORTHO_KERNELS
+
+    def test_partial_schur_with_pallas_ortho(self):
+        import jax
+        import numpy as np
+
+        from arnoldi_tpu import partial_schur
+        from arnoldi_tpu.matrices import mark
+        from arnoldi_tpu.utils.sorting import arg_largest_real
+
+        A = mark(15)
+        Q, T, _ = partial_schur(
+            A, 3, max_dim=12, stopping_criterion=1e-6,
+            sort_function=arg_largest_real, max_restarts=2000,
+            dtype=np.float32, ortho="cgs2_pallas", refine=None,
+            key=jax.random.key(0))
+        Qh, Th = np.asarray(Q), np.asarray(T)
+        res = np.linalg.norm(A.todense() @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-5)
