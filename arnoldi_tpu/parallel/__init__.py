@@ -1,6 +1,8 @@
 from .mesh import make_mesh, replicated_sharding, row_sharding
 from .sharded import shard_operator, shard_workspace, sharded_partial_schur
-from .halo_spmv import banded_matvec_halo, halo_matvec_closure
+from .halo_spmv import (banded_matvec_halo, bsr_matvec_halo,
+                        ell_matvec_halo, halo_matvec_closure,
+                        sparsity_bandwidth)
 
 __all__ = [
     "make_mesh",
@@ -10,5 +12,8 @@ __all__ = [
     "shard_workspace",
     "sharded_partial_schur",
     "banded_matvec_halo",
+    "ell_matvec_halo",
+    "bsr_matvec_halo",
+    "sparsity_bandwidth",
     "halo_matvec_closure",
 ]

@@ -72,3 +72,90 @@ def test_closure_in_solver(mesh):
     want = np.sort(laplace_eigen(n))[::-1][:3]
     np.testing.assert_allclose(np.sort(vals)[::-1], want, rtol=1e-8,
                                atol=1e-9)
+
+
+class TestScatteredHalo:
+    """ELL/BSR halo paths (general scattered sparsity, VERDICT round-1
+    item 3): ring ppermute + local index remap must reproduce the
+    single-device matvec with NO all-gather in the compiled HLO."""
+
+    def _mark_ops(self, n_pad=512):
+        from arnoldi_tpu.linop import pad_operator
+        from arnoldi_tpu.matrices import mark
+
+        A = mark(31)  # n=496, bandwidth ~33
+        ell = pad_operator(as_operator(A, format="ell"), n_pad)
+        bsr = pad_operator(as_operator(A, format=("bsr", (8, 8))), n_pad)
+        return A, ell, bsr
+
+    def test_ell_matches_single_device(self, mesh):
+        from arnoldi_tpu.parallel import ell_matvec_halo
+
+        A, ell, _ = self._mark_ops()
+        sop = shard_operator(ell, mesh)
+        x = _sharded_x(mesh, 512, seed=3)
+        y = ell_matvec_halo(sop, x, mesh)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ell.matvec(x)),
+                                   atol=1e-12)
+
+    def test_bsr_matches_single_device(self, mesh):
+        from arnoldi_tpu.parallel import bsr_matvec_halo
+
+        A, _, bsr = self._mark_ops()
+        sop = shard_operator(bsr, mesh)
+        x = _sharded_x(mesh, 512, seed=4)
+        y = bsr_matvec_halo(sop, x, mesh)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(bsr.matvec(x)),
+                                   atol=1e-12)
+
+    def test_compiled_hlo_has_no_all_gather(self, mesh):
+        # The VERDICT "no-all-gather proof": compile the sharded halo
+        # matvec AND a full Arnoldi expansion step over it; the optimized
+        # HLO must use collective-permute (ring halo) and all-reduce
+        # (psum'd dot products) but NEVER all-gather.
+        from jax.sharding import NamedSharding
+        from arnoldi_tpu.parallel import halo_matvec_closure
+        from arnoldi_tpu.solvers.decomposition import _expand_jit
+
+        _, _, bsr = self._mark_ops()
+        sop = shard_operator(bsr, mesh)
+        hop = halo_matvec_closure(sop, mesh)
+        x = _sharded_x(mesh, 512, seed=5)
+
+        txt = jax.jit(hop.matvec).lower(x).compile().as_text()
+        assert "all-gather" not in txt, "halo matvec fell back to all-gather"
+        assert "collective-permute" in txt, "expected ring halo comms"
+
+        m = 12
+        Vt = jax.device_put(jnp.zeros((m + 1, 512)),
+                            NamedSharding(mesh, P(None, "rows")))
+        H = jax.device_put(jnp.zeros((m + 1, m)),
+                           NamedSharding(mesh, P(None, None)))
+        lowered = jax.jit(
+            lambda V, H: _expand_jit(hop, V, H, jnp.asarray(1e-12),
+                                     start_dim=0, max_dim=m, ortho="cgs2")
+        ).lower(Vt, H)
+        txt2 = lowered.compile().as_text()
+        assert "all-gather" not in txt2, (
+            "sharded Arnoldi expansion contains an all-gather")
+        assert "collective-permute" in txt2
+        assert "all-reduce" in txt2  # the psum'd Gram-Schmidt projections
+
+    def test_ell_halo_solver_end_to_end(self, mesh):
+        # Full sharded Krylov-Schur over the ELL halo closure matches the
+        # single-device solve.
+        from arnoldi_tpu import partial_schur
+        from arnoldi_tpu.parallel import halo_matvec_closure
+        from arnoldi_tpu.matrices import mark
+        from arnoldi_tpu.utils.sorting import arg_largest_real
+
+        A, ell, _ = self._mark_ops()
+        sop = shard_operator(ell, mesh)
+        hop = halo_matvec_closure(sop, mesh)
+        Q, T, _ = partial_schur(
+            hop, 3, max_dim=16, stopping_criterion=1e-9,
+            sort_function=arg_largest_real, max_restarts=3000,
+            mesh=mesh, key=jax.random.key(7))
+        Qh, Th = np.asarray(Q)[:496], np.asarray(T)
+        res = np.linalg.norm(A.todense() @ Qh - Qh @ Th, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-7)
