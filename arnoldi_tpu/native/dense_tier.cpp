@@ -362,3 +362,488 @@ int eig_z(int n, cd *A, cd *vals, cd *vecs) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// REAL tier: quasi-triangular Schur form (1x1 + 2x2 blocks) for the TPU-first
+// real Krylov-Schur path.  The reference punts on real reordering
+// ("real mode not implemented yet", /root/reference/src/arnoldi/utils.py:64-65)
+// and round 1 leaned on scipy's dgees/dtrexc here; this section removes that
+// last LAPACK dependency from the flagship path:
+//
+//   * hessenberg_d   — real Householder reduction
+//   * hess_schur_d   — Francis implicit double-shift QR with 2x2-block
+//                      deflation and standardization
+//   * schur_d        — the full real Schur factorization A = Q T Q^T
+//   * reorder_blocks_d — greedy BLOCK reordering via direct adjacent-block
+//                      swaps (Sylvester solve + orthogonal transform — the
+//                      dlaexc/dtrexc method), one native call for the loop
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline double &atd(double *A, int n, int i, int j) { return A[(size_t)i * n + j]; }
+
+// Rotation G = [[c, s], [-s, c]] applied on the left to rows (r, r+1),
+// columns [c0, c1): rows <- G * rows.
+void drot_rows(double *A, int n, int r, int c0, int c1, double c, double s) {
+  for (int j = c0; j < c1; ++j) {
+    double x = atd(A, n, r, j), y = atd(A, n, r + 1, j);
+    atd(A, n, r, j) = c * x + s * y;
+    atd(A, n, r + 1, j) = -s * x + c * y;
+  }
+}
+
+// G^T applied on the right to columns (col, col+1), rows [r0, r1):
+// cols <- cols * G^T.
+void drot_cols(double *A, int n, int col, int r0, int r1, double c, double s) {
+  for (int i = r0; i < r1; ++i) {
+    double x = atd(A, n, i, col), y = atd(A, n, i, col + 1);
+    atd(A, n, i, col) = c * x + s * y;
+    atd(A, n, i, col + 1) = -s * x + c * y;
+  }
+}
+
+// Standardize the 2x2 block [[a, b], [cc, d]] at rows/cols (k, k+1) of T:
+// returns rotation (cs, sn) such that the similarity G B G^T either
+// triangularizes the block (real eigenvalues) or equalizes its diagonal
+// (complex pair -> [p, q; r, p] with q*r < 0).  Pure rotation algebra —
+// a' - d' = cos(2t)(a - d) + sin(2t)(b + cc).
+void standardize_2x2(double a, double b, double cc, double d, double &cs,
+                     double &sn, bool &real_pair) {
+  double p = 0.5 * (a - d);
+  double disc = p * p + b * cc;
+  if (disc >= 0.0) {
+    real_pair = true;
+    // Real eigenvalues: rotate eigenvector of lam1 to e1.
+    double sq = std::sqrt(disc);
+    double lam = 0.5 * (a + d) + (p >= 0 ? sq : -sq);  // larger-|.| root
+    // eigenvector candidates: [b, lam - a] or [lam - d, cc]
+    double v0a = b, v1a = lam - a;
+    double v0b = lam - d, v1b = cc;
+    double na = std::hypot(v0a, v1a), nb = std::hypot(v0b, v1b);
+    double v0, v1, nv;
+    if (na >= nb) { v0 = v0a; v1 = v1a; nv = na; }
+    else          { v0 = v0b; v1 = v1b; nv = nb; }
+    if (nv == 0.0) { cs = 1.0; sn = 0.0; return; }
+    cs = v0 / nv;
+    sn = v1 / nv;
+  } else {
+    real_pair = false;
+    // Complex pair: equalize the diagonal.
+    double theta = 0.5 * std::atan2(-(a - d), b + cc);
+    cs = std::cos(theta);
+    sn = std::sin(theta);
+  }
+}
+
+// Apply a 3-element Householder reflector (v normalized implicitly) to
+// rows r..r+2, columns [c0, c1):  rows <- (I - tau v v^T) rows.
+inline void house3_rows(double *A, int n, int r, int c0, int c1,
+                        const double v[3], double tau) {
+  for (int j = c0; j < c1; ++j) {
+    double s = v[0] * atd(A, n, r, j) + v[1] * atd(A, n, r + 1, j) +
+               v[2] * atd(A, n, r + 2, j);
+    s *= tau;
+    atd(A, n, r, j) -= s * v[0];
+    atd(A, n, r + 1, j) -= s * v[1];
+    atd(A, n, r + 2, j) -= s * v[2];
+  }
+}
+
+inline void house3_cols(double *A, int n, int col, int r0, int r1,
+                        const double v[3], double tau) {
+  for (int i = r0; i < r1; ++i) {
+    double s = v[0] * atd(A, n, i, col) + v[1] * atd(A, n, i, col + 1) +
+               v[2] * atd(A, n, i, col + 2);
+    s *= tau;
+    atd(A, n, i, col) -= s * v[0];
+    atd(A, n, i, col + 1) -= s * v[1];
+    atd(A, n, i, col + 2) -= s * v[2];
+  }
+}
+
+// Householder of a 3-vector x: v, tau with (I - tau v v^T) x = beta e1.
+inline bool house3_vec(const double x[3], double v[3], double &tau) {
+  double nrm = std::sqrt(x[0] * x[0] + x[1] * x[1] + x[2] * x[2]);
+  if (nrm == 0.0) return false;
+  double beta = (x[0] >= 0 ? -nrm : nrm);
+  v[0] = x[0] - beta;
+  v[1] = x[1];
+  v[2] = x[2];
+  double vn2 = v[0] * v[0] + v[1] * v[1] + v[2] * v[2];
+  if (vn2 == 0.0) return false;
+  tau = 2.0 / vn2;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Real Householder Hessenberg reduction; Q is overwritten with the
+// accumulated orthogonal transform (A_out = Q^T A_in Q).
+void hessenberg_d(int n, double *A, double *Q) {
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < n; ++j) atd(Q, n, i, j) = (i == j) ? 1.0 : 0.0;
+  std::vector<double> v((size_t)n);
+  for (int k = 0; k < n - 2; ++k) {
+    double xnorm = 0.0;
+    for (int i = k + 1; i < n; ++i) xnorm += atd(A, n, i, k) * atd(A, n, i, k);
+    xnorm = std::sqrt(xnorm);
+    if (xnorm == 0.0) continue;
+    double x0 = atd(A, n, k + 1, k);
+    double alpha = (x0 >= 0 ? -xnorm : xnorm);
+    double vnorm2 = 0.0;
+    for (int i = k + 1; i < n; ++i) {
+      v[i] = atd(A, n, i, k);
+      if (i == k + 1) v[i] -= alpha;
+      vnorm2 += v[i] * v[i];
+    }
+    if (vnorm2 == 0.0) continue;
+    double inv = 2.0 / vnorm2;
+    for (int j = 0; j < n; ++j) {  // A <- P A
+      double dot = 0.0;
+      for (int i = k + 1; i < n; ++i) dot += v[i] * atd(A, n, i, j);
+      dot *= inv;
+      for (int i = k + 1; i < n; ++i) atd(A, n, i, j) -= v[i] * dot;
+    }
+    for (int i = 0; i < n; ++i) {  // A <- A P
+      double dot = 0.0;
+      for (int j = k + 1; j < n; ++j) dot += atd(A, n, i, j) * v[j];
+      dot *= inv;
+      for (int j = k + 1; j < n; ++j) atd(A, n, i, j) -= dot * v[j];
+    }
+    for (int i = 0; i < n; ++i) {  // Q <- Q P
+      double dot = 0.0;
+      for (int j = k + 1; j < n; ++j) dot += atd(Q, n, i, j) * v[j];
+      dot *= inv;
+      for (int j = k + 1; j < n; ++j) atd(Q, n, i, j) -= dot * v[j];
+    }
+    atd(A, n, k + 1, k) = alpha;
+    for (int i = k + 2; i < n; ++i) atd(A, n, i, k) = 0.0;
+  }
+}
+
+// Francis implicit double-shift QR on an upper-Hessenberg T, accumulating
+// into Q.  Produces the real Schur form: 1x1 blocks and STANDARDIZED 2x2
+// blocks (equal diagonal, off-diagonal product < 0) for conjugate pairs.
+int hess_schur_d(int n, double *T, double *Q, int max_sweeps) {
+  if (max_sweeps <= 0) max_sweeps = 60 * n + 200;
+  const double eps = 2.220446049250313e-16;
+  double anorm = 0.0;
+  for (int i = 0; i < n; ++i)
+    for (int j = (i > 0 ? i - 1 : 0); j < n; ++j)
+      anorm = std::max(anorm, std::abs(atd(T, n, i, j)));
+  const double floor_tol = eps * anorm;
+  int hi = n - 1;
+  int sweeps_at_hi = 0;
+  int total = 0;
+
+  auto settle_2x2 = [&](int k) {
+    // Standardize the block at (k, k+1); split it if its pair is real.
+    double a = atd(T, n, k, k), b = atd(T, n, k, k + 1);
+    double cc = atd(T, n, k + 1, k), d = atd(T, n, k + 1, k + 1);
+    double cs, sn;
+    bool real_pair;
+    standardize_2x2(a, b, cc, d, cs, sn, real_pair);
+    drot_rows(T, n, k, 0, n, cs, sn);
+    drot_cols(T, n, k, 0, n, cs, sn);
+    drot_cols(Q, n, k, 0, n, cs, sn);
+    if (real_pair) atd(T, n, k + 1, k) = 0.0;
+  };
+
+  while (hi > 0) {
+    ++g_outer_iters;
+    if (++total > max_sweeps * 4 + 2000) return 1;
+    int lo = hi;
+    while (lo > 0) {
+      double s = std::abs(atd(T, n, lo - 1, lo - 1)) +
+                 std::abs(atd(T, n, lo, lo));
+      double thresh = std::max(eps * s, floor_tol);
+      if (std::abs(atd(T, n, lo, lo - 1)) <= thresh) {
+        atd(T, n, lo, lo - 1) = 0.0;
+        break;
+      }
+      --lo;
+    }
+    if (lo == hi) {  // 1x1 deflated
+      --hi;
+      sweeps_at_hi = 0;
+      continue;
+    }
+    if (lo == hi - 1) {  // 2x2 window: standardize and deflate
+      settle_2x2(lo);
+      hi -= 2;
+      sweeps_at_hi = 0;
+      continue;
+    }
+    // Francis double shift from the trailing 2x2 of the window.
+    double h00 = atd(T, n, hi - 1, hi - 1), h01 = atd(T, n, hi - 1, hi);
+    double h10 = atd(T, n, hi, hi - 1), h11 = atd(T, n, hi, hi);
+    double s_tr = h00 + h11;       // shift sum
+    double p_det = h00 * h11 - h01 * h10;  // shift product
+    if (++sweeps_at_hi % 10 == 0) {
+      // Exceptional (ad hoc) shifts to break symmetric cycles.
+      double w = std::abs(atd(T, n, hi, hi - 1)) +
+                 std::abs(atd(T, n, hi - 1, hi - 2));
+      s_tr = 2.0 * (atd(T, n, hi, hi) + 0.75 * w);
+      double t1 = atd(T, n, hi, hi) + 0.4375 * w;
+      p_det = t1 * t1;
+    }
+    if (sweeps_at_hi > max_sweeps) return 2;
+    // First column of (H - aI)(H - bI) e1 restricted to the window.
+    double a00 = atd(T, n, lo, lo), a01 = atd(T, n, lo, lo + 1);
+    double a10 = atd(T, n, lo + 1, lo), a11 = atd(T, n, lo + 1, lo + 1);
+    double a21 = atd(T, n, lo + 2, lo + 1);
+    double x = a00 * a00 + a01 * a10 - s_tr * a00 + p_det;
+    double y = a10 * (a00 + a11 - s_tr);
+    double z = a21 * a10;
+    for (int k = lo; k <= hi - 2; ++k) {
+      double xv[3] = {x, y, z};
+      double v[3], tau;
+      if (house3_vec(xv, v, tau)) {
+        int c0 = (k > lo) ? k - 1 : lo;
+        house3_rows(T, n, k, c0, n, v, tau);
+        int rend = std::min(k + 4, hi + 1);
+        house3_cols(T, n, k, 0, rend, v, tau);
+        house3_cols(Q, n, k, 0, n, v, tau);
+        if (k > lo) {
+          atd(T, n, k + 1, k - 1) = 0.0;
+          atd(T, n, k + 2, k - 1) = 0.0;
+        }
+      }
+      x = atd(T, n, k + 1, k);
+      y = atd(T, n, k + 2, k);
+      z = (k + 3 <= hi) ? atd(T, n, k + 3, k) : 0.0;
+    }
+    // Final 2-element rotation annihilating the last bulge entry.
+    {
+      int k = hi - 1;
+      double f = x, g = y;
+      double r = std::hypot(f, g);
+      if (r > 0.0) {
+        double cs = f / r, sn = g / r;
+        drot_rows(T, n, k, k - 1, n, cs, sn);
+        drot_cols(T, n, k, 0, std::min(k + 3, hi + 1), cs, sn);
+        drot_cols(Q, n, k, 0, n, cs, sn);
+        atd(T, n, k + 1, k - 1) = 0.0;
+      }
+    }
+  }
+  // Standardize any 2x2 blocks left with non-negligible subdiagonals and
+  // clear the rest of the lower triangle.
+  for (int i = 0; i + 1 < n; ++i) {
+    if (atd(T, n, i + 1, i) != 0.0) {
+      settle_2x2(i);
+      ++i;
+    }
+  }
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < i - 1; ++j) atd(T, n, i, j) = 0.0;
+  return 0;
+}
+
+// Full real Schur A = Q T Q^T (A overwritten with T).
+int schur_d(int n, double *A, double *Q) {
+  hessenberg_d(n, A, Q);
+  return hess_schur_d(n, A, Q, 0);
+}
+
+}  // extern "C"
+
+namespace {
+
+// Solve the tiny Sylvester system A11 X - X A22 = C  (A11 p x p, A22 q x q,
+// C p x q; p, q <= 2) by dense Gaussian elimination with partial pivoting on
+// the Kronecker form.  Returns false if the (near-singular) system indicates
+// too-close spectra (swap would be unstable).
+bool solve_sylvester_small(int p, int q, const double *A11, const double *A22,
+                           const double *C, double *X) {
+  int m = p * q;  // unknowns, vec by (i, j) -> i * q + j
+  double M[16], rhs[4];
+  for (int i = 0; i < m * m; ++i) M[i] = 0.0;
+  for (int i = 0; i < p; ++i)
+    for (int j = 0; j < q; ++j) {
+      int row = i * q + j;
+      rhs[row] = C[i * q + j];
+      for (int k = 0; k < p; ++k) M[row * m + (k * q + j)] += A11[i * p + k];
+      for (int k = 0; k < q; ++k) M[row * m + (i * q + k)] -= A22[k * q + j];
+    }
+  // Gaussian elimination with partial pivoting.
+  int piv[4] = {0, 1, 2, 3};
+  (void)piv;
+  for (int col = 0; col < m; ++col) {
+    int best = col;
+    for (int r = col + 1; r < m; ++r)
+      if (std::abs(M[r * m + col]) > std::abs(M[best * m + col])) best = r;
+    if (best != col) {
+      for (int j = 0; j < m; ++j) std::swap(M[col * m + j], M[best * m + j]);
+      std::swap(rhs[col], rhs[best]);
+    }
+    double d = M[col * m + col];
+    if (std::abs(d) < 1e-300) return false;
+    for (int r = col + 1; r < m; ++r) {
+      double f = M[r * m + col] / d;
+      if (f == 0.0) continue;
+      for (int j = col; j < m; ++j) M[r * m + j] -= f * M[col * m + j];
+      rhs[r] -= f * rhs[col];
+    }
+  }
+  for (int r = m - 1; r >= 0; --r) {
+    double acc = rhs[r];
+    for (int j = r + 1; j < m; ++j) acc -= M[r * m + j] * rhs[j];
+    rhs[r] = acc / M[r * m + r];
+  }
+  for (int i = 0; i < m; ++i) X[i] = rhs[i];
+  return true;
+}
+
+// Swap ADJACENT diagonal blocks of sizes (p, q) starting at row j of the
+// real quasi-triangular T (the dlaexc direct method): solve
+// A11 X - X A22 = A12, orthogonalize [[-X], [I]] by Householder QR, apply
+// the resulting (p+q)x(p+q) orthogonal W as a similarity on rows/cols
+// [j, j+p+q), accumulate into Q, then re-standardize the moved 2x2 blocks.
+bool swap_adjacent_blocks_d(int n, double *T, double *Q, int j, int p,
+                            int q) {
+  int w = p + q;
+  double A11[4], A22[4], A12[4], X[4];
+  for (int i = 0; i < p; ++i)
+    for (int k = 0; k < p; ++k) A11[i * p + k] = atd(T, n, j + i, j + k);
+  for (int i = 0; i < q; ++i)
+    for (int k = 0; k < q; ++k)
+      A22[i * q + k] = atd(T, n, j + p + i, j + p + k);
+  for (int i = 0; i < p; ++i)
+    for (int k = 0; k < q; ++k) A12[i * q + k] = atd(T, n, j + i, j + p + k);
+  if (!solve_sylvester_small(p, q, A11, A22, A12, X)) return false;
+
+  // M = [[-X], [I_q]]  ((p+q) x q), QR via Householder -> full W (w x w).
+  double M[8];
+  for (int i = 0; i < p; ++i)
+    for (int k = 0; k < q; ++k) M[i * q + k] = -X[i * q + k];
+  for (int i = 0; i < q; ++i)
+    for (int k = 0; k < q; ++k)
+      M[(p + i) * q + k] = (i == k) ? 1.0 : 0.0;
+  double W[16];
+  for (int i = 0; i < w; ++i)
+    for (int k = 0; k < w; ++k) W[i * w + k] = (i == k) ? 1.0 : 0.0;
+  for (int col = 0; col < q; ++col) {
+    double nrm = 0.0;
+    for (int i = col; i < w; ++i) nrm += M[i * q + col] * M[i * q + col];
+    nrm = std::sqrt(nrm);
+    if (nrm == 0.0) continue;
+    double x0 = M[col * q + col];
+    double beta = (x0 >= 0 ? -nrm : nrm);
+    double v[4];
+    double vn2 = 0.0;
+    for (int i = col; i < w; ++i) {
+      v[i] = M[i * q + col] - ((i == col) ? beta : 0.0);
+      vn2 += v[i] * v[i];
+    }
+    if (vn2 == 0.0) continue;
+    double tau = 2.0 / vn2;
+    for (int k = col; k < q; ++k) {  // M <- P M
+      double s = 0.0;
+      for (int i = col; i < w; ++i) s += v[i] * M[i * q + k];
+      s *= tau;
+      for (int i = col; i < w; ++i) M[i * q + k] -= s * v[i];
+    }
+    for (int k = 0; k < w; ++k) {  // W <- W P   (accumulate product of Ps)
+      double s = 0.0;
+      for (int i = col; i < w; ++i) s += W[k * w + i] * v[i];
+      s *= tau;
+      for (int i = col; i < w; ++i) W[k * w + i] -= s * v[i];
+    }
+  }
+  // Similarity on the window: T <- (I x W^T) T (I x W), Q <- Q W.
+  std::vector<double> tmp((size_t)w * n);
+  for (int i = 0; i < w; ++i)  // rows: W^T * T[j..j+w)
+    for (int col = 0; col < n; ++col) {
+      double acc = 0.0;
+      for (int k = 0; k < w; ++k) acc += W[k * w + i] * atd(T, n, j + k, col);
+      tmp[(size_t)i * n + col] = acc;
+    }
+  for (int i = 0; i < w; ++i)
+    for (int col = 0; col < n; ++col) atd(T, n, j + i, col) = tmp[(size_t)i * n + col];
+  std::vector<double> tmpc((size_t)n * w);
+  for (int r = 0; r < n; ++r)  // cols: T[:, j..j+w) * W
+    for (int i = 0; i < w; ++i) {
+      double acc = 0.0;
+      for (int k = 0; k < w; ++k) acc += atd(T, n, r, j + k) * W[k * w + i];
+      tmpc[(size_t)r * w + i] = acc;
+    }
+  for (int r = 0; r < n; ++r)
+    for (int i = 0; i < w; ++i) atd(T, n, r, j + i) = tmpc[(size_t)r * w + i];
+  for (int r = 0; r < n; ++r) {  // Q <- Q W
+    double acc[4];
+    for (int i = 0; i < w; ++i) {
+      acc[i] = 0.0;
+      for (int k = 0; k < w; ++k) acc[i] += atd(Q, n, r, j + k) * W[k * w + i];
+    }
+    for (int i = 0; i < w; ++i) atd(Q, n, r, j + i) = acc[i];
+  }
+  // Clean the now-zero sub-block and re-standardize moved 2x2 blocks.
+  for (int i = q; i < w; ++i)
+    for (int k = 0; k < q; ++k) atd(T, n, j + i, j + k) = 0.0;
+  auto restd = [&](int k, int sz) {
+    if (sz != 2) return;
+    double a = atd(T, n, k, k), b = atd(T, n, k, k + 1);
+    double cc = atd(T, n, k + 1, k), d = atd(T, n, k + 1, k + 1);
+    double cs, sn;
+    bool real_pair;
+    standardize_2x2(a, b, cc, d, cs, sn, real_pair);
+    drot_rows(T, n, k, 0, n, cs, sn);
+    drot_cols(T, n, k, 0, n, cs, sn);
+    drot_cols(Q, n, k, 0, n, cs, sn);
+    if (real_pair) atd(T, n, k + 1, k) = 0.0;
+  };
+  restd(j, q);
+  restd(j + q, p);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Greedy block reorder of a real quasi-triangular T: blocks are detected
+// from the subdiagonal; order[t] = ORIGINAL block id to place at slot t
+// (nb entries).  One native call for the whole loop (the real analog of
+// ordered_schur_z); returns 0 on success, 1 on an unstable swap.
+int reorder_blocks_d(int n, double *T, double *Q, int nb, const int *order) {
+  // Detect blocks.
+  std::vector<int> sizes;
+  for (int i = 0; i < n;) {
+    if (i + 1 < n && atd(T, n, i + 1, i) != 0.0) {
+      sizes.push_back(2);
+      i += 2;
+    } else {
+      sizes.push_back(1);
+      i += 1;
+    }
+  }
+  if ((int)sizes.size() != nb) return -1;
+  std::vector<int> ids((size_t)nb);
+  for (int i = 0; i < nb; ++i) ids[i] = i;
+  std::vector<int> cur_sizes(sizes);
+  for (int target = 0; target < nb; ++target) {
+    int want = order[target];
+    int slot = -1;
+    for (int s = target; s < nb; ++s)
+      if (ids[s] == want) { slot = s; break; }
+    if (slot < 0) return -2;
+    // Bubble the block left one neighbour at a time.
+    while (slot > target) {
+      // start row of block slot-1
+      int row = 0;
+      for (int s = 0; s < slot - 1; ++s) row += cur_sizes[s];
+      int p = cur_sizes[slot - 1], q = cur_sizes[slot];
+      if (!swap_adjacent_blocks_d(n, T, Q, row, p, q)) return 1;
+      std::swap(ids[slot - 1], ids[slot]);
+      std::swap(cur_sizes[slot - 1], cur_sizes[slot]);
+      --slot;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -24,6 +24,7 @@ _lib = None
 _build_failed = False
 
 _c128 = np.ctypeslib.ndpointer(dtype=np.complex128, flags="C_CONTIGUOUS")
+_f64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
@@ -56,6 +57,11 @@ def _load():
             lib.trevc_z.restype = ctypes.c_int
             lib.eig_z.argtypes = [ctypes.c_int, _c128, _c128, _c128]
             lib.eig_z.restype = ctypes.c_int
+            lib.schur_d.argtypes = [ctypes.c_int, _f64, _f64]
+            lib.schur_d.restype = ctypes.c_int
+            lib.reorder_blocks_d.argtypes = [ctypes.c_int, _f64, _f64,
+                                             ctypes.c_int, _i32]
+            lib.reorder_blocks_d.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _build_failed = True
@@ -130,3 +136,31 @@ def eig(A):
     if rc != 0:
         raise RuntimeError(f"native eig_z failed (rc={rc})")
     return vals.astype(in_dtype), vecs.astype(in_dtype)
+
+
+def schur_real(A):
+    """Real Schur ``A = Q T Q^T`` (T quasi-triangular with standardized
+    2x2 blocks); float32 inputs upcast and cast back."""
+    lib = _load()
+    in_dtype = np.asarray(A).dtype
+    T = np.ascontiguousarray(np.asarray(A), dtype=np.float64).copy()
+    n = T.shape[0]
+    Q = np.zeros((n, n), dtype=np.float64)
+    rc = lib.schur_d(n, T, Q)
+    if rc != 0:
+        raise RuntimeError(f"native schur_d failed to converge (rc={rc})")
+    return T.astype(in_dtype), Q.astype(in_dtype)
+
+
+def reorder_blocks_real(T, Q, block_order):
+    """Greedy BLOCK reorder of a real quasi-triangular Schur form — the
+    dtrexc/dlaexc analog, whole loop in one native call."""
+    lib = _load()
+    in_dtype = np.asarray(T).dtype
+    T = np.ascontiguousarray(T, dtype=np.float64).copy()
+    Q = np.ascontiguousarray(Q, dtype=np.float64).copy()
+    order = np.ascontiguousarray(block_order, dtype=np.int32)
+    rc = lib.reorder_blocks_d(T.shape[0], T, Q, len(order), order)
+    if rc != 0:
+        raise RuntimeError(f"native reorder_blocks_d failed (rc={rc})")
+    return T.astype(in_dtype), Q.astype(in_dtype)

@@ -121,11 +121,19 @@ def ordered_schur(a, output="complex", *, sort_function=None):
 
 def schur_real(A):
     """Real Schur factorization ``A = Z T Z^T`` with T quasi-triangular
-    (1x1 blocks for real eigenvalues, 2x2 blocks for conjugate pairs)."""
-    from scipy.linalg import schur
-
+    (1x1 blocks for real eigenvalues, standardized 2x2 blocks for
+    conjugate pairs).  Native C++ (Householder + Francis double-shift QR,
+    ``dense_tier.cpp``) with LAPACK-via-scipy as the fallback oracle."""
     A = np.asarray(A)
     assert not np.iscomplexobj(A)
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.schur_real(A)
+        except RuntimeError:
+            pass  # QR non-convergence: fall back to LAPACK
+    from scipy.linalg import schur
+
     return schur(A, output="real")
 
 
@@ -184,21 +192,21 @@ def ordered_schur_real(a, *, sort_function=None):
 
     The reference punts on this ("real mode not implemented yet",
     ``utils.py:64-65``); it is required here because the TPU hot path runs
-    in real arithmetic.  Greedy block reordering via LAPACK ``{s,d}trexc``
-    with block-granular position tracking; a conjugate pair moves as one
-    unit and is ranked by its first (positive-imaginary) eigenvalue.
+    in real arithmetic.  Greedy block reordering — a conjugate pair moves
+    as one unit and is ranked by its first (positive-imaginary)
+    eigenvalue.  Native path: direct adjacent-block swaps (Sylvester solve
+    + orthogonal transform, the dlaexc method) with the WHOLE greedy loop
+    in one C++ call (``dense_tier.cpp reorder_blocks_d``); fallback:
+    LAPACK ``{s,d}trexc`` one move at a time.
 
     Returns ``(T, Z, eigvals)`` where ``eigvals`` is the positional complex
     eigenvalue array of the final T (see :func:`real_schur_eigvals`).
     """
-    from scipy.linalg.lapack import dtrexc, strexc
-
     if sort_function is None:
         sort_function = arg_largest_magnitude
 
     a = np.asarray(a)
     T, Z = schur_real(a)
-    trexc = strexc if T.dtype == np.float32 else dtrexc
 
     starts, sizes = real_schur_blocks(T)
     vals = real_schur_eigvals(T)
@@ -207,6 +215,18 @@ def ordered_schur_real(a, *, sort_function=None):
     reps = np.array([vals[s] for s in starts])
     block_order = np.asarray(sort_function(reps))
 
+    nat = _native()
+    if nat is not None:
+        try:
+            T, Z = nat.reorder_blocks_real(T, Z,
+                                           block_order.astype(np.int32))
+            return T, Z, real_schur_eigvals(T)
+        except RuntimeError:
+            pass  # unstable swap (pathologically close spectra): use LAPACK
+
+    from scipy.linalg.lapack import dtrexc, strexc
+
+    trexc = strexc if T.dtype == np.float32 else dtrexc
     ids = list(range(len(starts)))     # block ids in current T order
     cur_sizes = list(sizes)
     for target_slot, want_id in enumerate(block_order):

@@ -98,3 +98,83 @@ def test_dispatch_uses_native(monkeypatch):
     import arnoldi_tpu.ops.dense_tier as dt
 
     assert dt._native() is not None
+
+
+class TestNativeRealSchur:
+    """Real (quasi-triangular) tier: native Francis QR + dlaexc-style block
+    swaps vs scipy/LAPACK goldens (tolerance provenance: the reference
+    copies its ordered_schur tolerances from SciPy's ARPACK suite,
+    /root/reference/tests/test_utils.py:8-19)."""
+
+    def test_schur_real_factorization(self):
+        rng = np.random.default_rng(3)
+        for n in (2, 3, 7, 24, 60):
+            A = rng.standard_normal((n, n))
+            T, Q = nat.schur_real(A)
+            assert np.abs(Q @ T @ Q.T - A).max() < 1e-11 * max(
+                1, np.abs(A).max())
+            assert np.abs(Q.T @ Q - np.eye(n)).max() < 1e-12
+            vals = np.sort_complex(np.linalg.eigvals(A))
+            import arnoldi_tpu.ops.dense_tier as dt
+
+            got = np.sort_complex(dt.real_schur_eigvals(T))
+            np.testing.assert_allclose(got, vals, atol=1e-9, rtol=1e-9)
+
+    def test_standardized_blocks(self):
+        rng = np.random.default_rng(4)
+        A = rng.standard_normal((40, 40))
+        T, _ = nat.schur_real(A)
+        i = 0
+        while i < 39:
+            if T[i + 1, i] != 0:
+                assert abs(T[i, i] - T[i + 1, i + 1]) <= 1e-8 * max(
+                    1, abs(T[i, i]))
+                assert T[i, i + 1] * T[i + 1, i] < 0
+                i += 2
+            else:
+                i += 1
+
+    def test_reorder_blocks_conjugate_pairs(self):
+        # Spectrum engineered with conjugate pairs straddling the sort
+        # boundary; native reorder must match the scipy-trexc fallback.
+        import scipy.linalg as sla
+
+        import arnoldi_tpu.ops.dense_tier as dt
+        from arnoldi_tpu.utils.sorting import arg_largest_real
+
+        rng = np.random.default_rng(5)
+        D = sla.block_diag(
+            np.array([[0.9, 0.8], [-0.8, 0.9]]),
+            np.diag([1.2, -0.3]),
+            np.array([[1.0, 2.0], [-2.0, 1.0]]),
+            np.array([[0.95, 0.1], [-0.1, 0.95]]),
+        )
+        Qo, _ = np.linalg.qr(rng.standard_normal(D.shape))
+        A = Qo.T @ D @ Qo
+        T, Z, vals = dt.ordered_schur_real(A, sort_function=arg_largest_real)
+        assert np.abs(Z @ T @ Z.T - A).max() < 1e-11
+        # wanted-first ordering by real part (pairs as units)
+        starts, sizes = dt.real_schur_blocks(T)
+        reps = np.array([vals[s].real for s in starts])
+        assert np.all(np.diff(reps) < 1e-8), reps
+        np.testing.assert_allclose(
+            np.sort_complex(vals), np.sort_complex(np.linalg.eigvals(A)),
+            atol=1e-9)
+
+    def test_reorder_random_matches_scipy_path(self, monkeypatch):
+        import arnoldi_tpu.ops.dense_tier as dt
+        from arnoldi_tpu.utils.sorting import arg_largest_magnitude
+
+        rng = np.random.default_rng(6)
+        for trial in range(8):
+            n = int(rng.integers(4, 30))
+            A = rng.standard_normal((n, n))
+            Tn, Zn, vn = dt.ordered_schur_real(
+                A, sort_function=arg_largest_magnitude)
+            # force the scipy path for the golden
+            monkeypatch.setattr(dt, "_native", lambda: None)
+            Ts, Zs, vs = dt.ordered_schur_real(
+                A, sort_function=arg_largest_magnitude)
+            monkeypatch.undo()
+            np.testing.assert_allclose(np.abs(vn), np.abs(vs), atol=1e-9)
+            assert np.abs(Zn @ Tn @ Zn.T - A).max() < 1e-11
