@@ -138,16 +138,21 @@ def project_update_norm_pallas(Vt, w, c, *, interpret=False,
     return w_new[0, :n], norm_sq[0, 0]
 
 
-def cgs2_pallas(Vt, w, n_active, *, tol=1e-8, eta=None, interpret=False):
+def cgs2_pallas(Vt, w, n_active, *, tol=1e-8, eta=None, interpret=False,
+                block_cols=16384):
     """Drop-in ortho kernel (see ``arnoldi_tpu.ops.ortho``): unconditional
     twice-is-enough CGS built from the fused Pallas passes.  Real dtypes,
     transposed basis layout.
     """
     mp1 = Vt.shape[0]
     mask = (jnp.arange(mp1) < n_active).astype(Vt.dtype)
-    c1 = masked_project_pallas(Vt, w, mask, interpret=interpret)
-    w1, _ = project_update_norm_pallas(Vt, w, c1, interpret=interpret)
-    c2 = masked_project_pallas(Vt, w1, mask, interpret=interpret)
-    w2, ns = project_update_norm_pallas(Vt, w1, c2, interpret=interpret)
+    c1 = masked_project_pallas(Vt, w, mask, interpret=interpret,
+                               block_cols=block_cols)
+    w1, _ = project_update_norm_pallas(Vt, w, c1, interpret=interpret,
+                                       block_cols=block_cols)
+    c2 = masked_project_pallas(Vt, w1, mask, interpret=interpret,
+                               block_cols=block_cols)
+    w2, ns = project_update_norm_pallas(Vt, w1, c2, interpret=interpret,
+                                        block_cols=block_cols)
     beta = jnp.sqrt(ns).astype(jnp.finfo(Vt.dtype).dtype)
     return c1 + c2, w2, beta, beta < tol

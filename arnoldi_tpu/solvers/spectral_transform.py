@@ -25,19 +25,105 @@ __all__ = ["shift_invert_operator", "generalized_operator",
            "realify_operator", "eigs", "eigs_realified", "eigsh"]
 
 
+class InnerSolveStats:
+    """Mutable inner-solve accounting attached to shift-invert operators
+    (surfaced so History-style convergence reporting can include the inner
+    work; the reference has no shift-invert at all)."""
+
+    def __init__(self):
+        self.solves = 0
+        self.inner_matvecs = 0
+
+    def __repr__(self):
+        return (f"InnerSolveStats(solves={self.solves}, "
+                f"inner_matvecs={self.inner_matvecs})")
+
+
+def _splu_inverse(A, sigma, dtype, stats):
+    """Host sparse-LU inner solver: ``(A - sigma I)^{-1}`` by a one-time
+    scipy ``splu`` factorization reached through ``jax.pure_callback`` —
+    ARPACK's standard shift-invert strategy, and the robust choice for
+    INDEFINITE shifts where unpreconditioned BiCGStab stalls.  The
+    factorization lives on the host (CPU-resident operators); the solve is
+    performed in float64 regardless of the device dtype."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+
+    if jax.default_backend() == "tpu":
+        raise NotImplementedError(
+            "solver='splu' needs host callbacks, which this TPU runtime "
+            "does not support; force CPU in-process "
+            "(jax.config.update('jax_platforms', 'cpu')) or use an "
+            "iterative inner solver ('gmres'/'bicgstab'/'cg')")
+    if sp.issparse(A):
+        A_h = sp.csc_matrix(A)
+    else:
+        A_h = sp.csc_matrix(np.asarray(A))
+    if np.iscomplexobj(sigma) and not np.issubdtype(A_h.dtype,
+                                                    np.complexfloating):
+        A_h = A_h.astype(np.complex128)
+    complex_lu = np.issubdtype(A_h.dtype, np.complexfloating) \
+        or np.iscomplexobj(sigma)
+    hp = np.complex128 if complex_lu else np.float64
+    shifted = (A_h.astype(hp) - sigma * sp.identity(A_h.shape[0], dtype=hp,
+                                                    format="csc")).tocsc()
+    lu = splu(shifted)
+    n = A_h.shape[0]
+    op_dtype = jax.dtypes.canonicalize_dtype(
+        np.dtype(dtype) if dtype is not None else A_h.dtype)
+
+    def host_solve(b):
+        if stats is not None:
+            stats.solves += 1
+        b = np.asarray(b)
+        if np.iscomplexobj(b) and not complex_lu:
+            # Real factorization, complex right-hand side (the complex128
+            # outer solver on CPU): solve the parts separately.
+            x = (lu.solve(b.real.astype(np.float64))
+                 + 1j * lu.solve(b.imag.astype(np.float64)))
+        else:
+            x = lu.solve(b.astype(hp))
+        return x.astype(b.dtype)
+
+    def inv_mv(b):
+        return jax.pure_callback(
+            host_solve, jax.ShapeDtypeStruct((n,), b.dtype), b,
+            vmap_method="sequential")
+
+    return CallableOperator(inv_mv, (n, n), op_dtype, nnz=int(A_h.nnz))
+
+
 def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
-                          maxiter=2000, M=None, dtype=None):
-    """Wrap ``(A - sigma I)^{-1}`` as an operator via an inner Krylov solve.
+                          maxiter=2000, M=None, dtype=None,
+                          count_inner=False):
+    """Wrap ``(A - sigma I)^{-1}`` as an operator.
 
     Parameters
     ----------
-    A : operator-like.
-    sigma : real shift.
-    solver : "bicgstab" (general), "gmres", or "cg" (Hermitian definite).
-    inner_tol, maxiter : inner-solve controls.  The inner tolerance must be
-        a couple of digits tighter than the outer eigensolver tolerance.
-    M : optional preconditioner operator.
+    A : operator-like (for ``solver='splu'``: a SciPy sparse matrix or
+        dense array, factorized once on the host).
+    sigma : real or complex shift.
+    solver : "bicgstab" (general), "gmres" (robust for indefinite shifts),
+        "cg" (Hermitian definite), or "splu" (host sparse LU through
+        ``pure_callback`` — ARPACK's standard, exact to f64).
+    inner_tol, maxiter : inner-solve controls (iterative solvers).  The
+        inner tolerance must be a couple of digits tighter than the outer
+        eigensolver tolerance.
+    M : optional preconditioner operator (iterative solvers).
+    count_inner : attach an :class:`InnerSolveStats` as ``.inner_stats``
+        on the returned operator, counting inner solves and (for the
+        iterative solvers, via a host callback per application) inner
+        matvecs.
+
+    Returns a :class:`CallableOperator`; when ``count_inner`` (or always
+    for ``splu``) it carries ``.inner_stats``.
     """
+    stats = InnerSolveStats() if (count_inner or solver == "splu") else None
+    if solver == "splu":
+        si_op = _splu_inverse(A, np.asarray(sigma).item(), dtype, stats)
+        si_op.inner_stats = stats
+        return si_op
+
     op = as_operator(A, dtype=dtype)
     n = op.shape[0]
     sigma = np.asarray(sigma).item()  # keeps complex shifts complex
@@ -48,18 +134,32 @@ def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
     if solver not in solvers:
         raise ValueError(
             f"Unknown inner solver {solver!r}; expected one of "
-            f"{sorted(solvers)}")
+            f"{sorted(solvers) + ['splu']}")
     solve_fn = solvers[solver]
 
     def shifted_mv(x):
+        if stats is not None:
+            jax.debug.callback(_count_inner_mv, stats)
         return op.matvec(x) - sigma * x
 
+    # Restarted GMRES stagnates on indefinite systems with the default
+    # tiny restart window; widen it (the basis is still small vs n).
+    extra = {"restart": 80} if solver == "gmres" else {}
+
     def inv_mv(b):
+        if stats is not None:
+            stats.solves += 1  # traced once per outer-matvec call site
         x, _ = solve_fn(shifted_mv, b, tol=inner_tol, maxiter=maxiter,
-                        M=M.matvec if M is not None else None)
+                        M=M.matvec if M is not None else None, **extra)
         return x
 
-    return CallableOperator(inv_mv, (n, n), op.dtype, nnz=op.nnz)
+    si_op = CallableOperator(inv_mv, (n, n), op.dtype, nnz=op.nnz)
+    si_op.inner_stats = stats
+    return si_op
+
+
+def _count_inner_mv(stats):
+    stats.inner_matvecs += 1
 
 
 def _transform_back(theta, sigma):
@@ -289,8 +389,11 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
+        # splu factorizes the ORIGINAL host matrix; iterative solvers run
+        # against the device operator.
         solve_op = shift_invert_operator(
-            op, sigma, solver=inner_solver, inner_tol=itol)
+            A if inner_solver == "splu" else op, sigma,
+            solver=inner_solver, inner_tol=itol, dtype=dtype)
         sort_function = sort_function_for("LM")
         Q, T, hist = partial_schur(
             solve_op, k, max_dim=ncv, stopping_criterion=tol,
@@ -342,7 +445,8 @@ def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
         solve_op = shift_invert_operator(
-            op, sigma, solver=inner_solver, inner_tol=itol)
+            A if inner_solver == "splu" else op, sigma,
+            solver=inner_solver, inner_tol=itol, dtype=dtype)
         # scipy contract: under shift-invert, `which` selects on the
         # TRANSFORMED eigenvalues nu = 1/(lambda - sigma): the default 'LM'
         # means "nearest sigma", 'LA' means "just above sigma".

@@ -1,6 +1,7 @@
 """Shift-invert and scipy-compatible wrapper tests."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -81,3 +82,91 @@ class TestEigsh:
                            maxiter=5000)
         want = np.sort(laplace_eigen(n))[:3]
         np.testing.assert_allclose(np.sort(vals), want, rtol=1e-6, atol=1e-7)
+
+
+class TestShiftInvertRobustness:
+    """Round-1 VERDICT item 8: a host sparse-LU inner solver (ARPACK's
+    standard) for shifts where unpreconditioned BiCGStab stalls, plus
+    inner-iteration accounting."""
+
+    def _interior_setup(self):
+        import scipy.sparse.linalg as spla
+
+        from arnoldi_tpu.matrices import laplace
+
+        L = laplace(400).tocsr()  # spectrum in (-4, 0)
+        sigma = -2.0              # interior: A - sigma I is INDEFINITE
+        ref = spla.eigsh(L.astype(np.float64), 6, sigma=sigma)[0]
+        return L, sigma, ref
+
+    def test_eigsh_interior_shift_splu(self):
+        from arnoldi_tpu import eigsh
+
+        L, sigma, ref = self._interior_setup()
+        vals, vecs = eigsh(L, 6, sigma=sigma, inner_solver="splu",
+                           tol=1e-10, maxiter=3000, key=jax.random.key(0))
+        np.testing.assert_allclose(np.sort(vals), np.sort(ref), atol=1e-8)
+        res = np.linalg.norm(L @ vecs - vecs * np.asarray(vals)[None, :],
+                             axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+    def test_eigsh_interior_shift_gmres(self):
+        from arnoldi_tpu import eigsh
+
+        L, sigma, ref = self._interior_setup()
+        vals, _ = eigsh(L, 6, sigma=sigma, inner_solver="gmres",
+                        tol=1e-8, inner_tol=1e-11, maxiter=3000,
+                        key=jax.random.key(0))
+        np.testing.assert_allclose(np.sort(vals), np.sort(ref), atol=1e-7)
+
+    def test_eigs_interior_shift_splu_nonsymmetric(self):
+        # NORMAL nonsymmetric matrix (orthogonal similarity of a known
+        # spectrum) so the interior eigenvalues are well-conditioned; mark
+        # matrices' interior clusters are too non-normal for tight
+        # cross-solver agreement (even ARPACK's residuals are ~1e-3 there).
+        from arnoldi_tpu import eigs
+
+        rng = np.random.default_rng(2)
+        import scipy.linalg as sla
+
+        D = sla.block_diag(
+            np.diag([0.1, 0.35, 0.52, 0.61, 0.9, 1.4]),
+            np.array([[0.48, 0.2], [-0.2, 0.48]]),
+            np.diag(rng.uniform(2, 3, 40)),
+        )
+        Qo, _ = np.linalg.qr(rng.standard_normal(D.shape))
+        A = Qo.T @ D @ Qo
+        sigma = 0.5
+        vals, vecs = eigs(A, 3, sigma=sigma, inner_solver="splu",
+                          tol=1e-10, maxiter=3000, key=jax.random.key(1))
+        dense = np.linalg.eigvals(D)
+        want = dense[np.argsort(np.abs(dense - sigma))[:3]]
+        np.testing.assert_allclose(np.sort_complex(vals),
+                                   np.sort_complex(want), atol=1e-9)
+        res = np.linalg.norm(A @ vecs - vals * vecs, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-8)
+
+    def test_inner_stats_splu(self):
+        from arnoldi_tpu.solvers.spectral_transform import (
+            shift_invert_operator)
+        from arnoldi_tpu.matrices import laplace
+
+        L = laplace(100).tocsr()
+        op = shift_invert_operator(L, -2.0, solver="splu")
+        x = np.random.default_rng(0).standard_normal(100)
+        y = np.asarray(op.matvec(jnp.asarray(x, jnp.float64)))
+        np.testing.assert_allclose(
+            (L - (-2.0) * sp.identity(100)) @ y, x, atol=1e-10)
+        assert op.inner_stats.solves == 1
+
+    def test_inner_stats_iterative(self):
+        from arnoldi_tpu.solvers.spectral_transform import (
+            shift_invert_operator)
+        from arnoldi_tpu.matrices import laplace
+
+        L = laplace(60).tocsr()
+        op = shift_invert_operator(L, 1.0, solver="cg", count_inner=True,
+                                   inner_tol=1e-12)
+        _ = np.asarray(op.matvec(jnp.ones(60)))
+        assert op.inner_stats.solves >= 1
+        assert op.inner_stats.inner_matvecs > 1
