@@ -136,3 +136,39 @@ def load_matrix_market(path, dtype=None):
     if dtype is not None:
         A = A.astype(dtype)
     return A
+
+
+def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
+                     dtype=np.float64):
+    """Large random SCATTERED-sparsity test matrix with a controlled
+    spectrum (the SuiteSparse stand-in for the zero-egress benchmark
+    environment; the reference's corpus fetcher
+    ``scripts/download_matrices.sh`` is unusable without network).
+
+    Construction: ``A = diag(d) + C`` where ``d`` is linspace(0, 1, n)
+    with its top 10 entries replaced by WELL-SEPARATED dominant values
+    ``1.2 + 0.05*k`` (so the wanted eigenvalues have O(0.05) gaps at any
+    n, not the hopeless 1/n bulk spacing), and ``C`` has ``nnz_per_row``
+    uniformly random off-diagonal entries per row scaled so
+    ``||C||_2 <~ coupling`` (Gershgorin).  The spectrum is a cloud within
+    ``coupling`` of d: nonsymmetric, non-normal, largest-real eigenvalues
+    near the separated outliers.
+
+    Returns CSR.  Memory: O(n * nnz_per_row).
+    """
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+    cols = rng.integers(0, n, size=n * nnz_per_row, dtype=np.int64)
+    # scale so each row's off-diagonal absolute sum ~= coupling
+    vals = rng.uniform(-1.0, 1.0, size=n * nnz_per_row)
+    vals *= coupling / nnz_per_row * 2.0
+    d = np.linspace(0.0, 1.0, n)
+    k_out = min(10, n)
+    d[-k_out:] = 1.2 + 0.05 * np.arange(k_out)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    A = A + sp.diags_array(d)
+    A = sp.csr_matrix(A)
+    if dtype is not None:
+        A = A.astype(dtype)
+    A.sum_duplicates()
+    return A

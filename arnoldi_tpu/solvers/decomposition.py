@@ -46,19 +46,21 @@ def default_invariant_tol(dtype):
     return float(np.sqrt(np.finfo(np.dtype(dtype)).eps))
 
 
-@partial(jax.jit, static_argnames=("start_dim", "max_dim", "ortho"))
-def _expand_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
-    ortho_fn = resolve_ortho(ortho)
+def _expand_window(op, Vt, H, invariant_tol, bj0, *, start, end, ortho_fn):
+    """Expansion steps ``start..end`` on a (possibly row-sliced) workspace,
+    threading the breakdown index ``bj0`` so segments compose.
+
+    fori_loop with a STATIC trip count, not while_loop: XLA pipelines the
+    fixed-count loop (double-buffered HBM streaming) but cannot for a
+    dynamic-exit loop — measured 5.4x faster per iteration on TPU with
+    bit-identical results.  Breakdown cannot exit early, so steps past the
+    first breakdown run "dead": they write zeros and are excluded by the
+    returned n_iter (breakdown is rare; the waste is bounded and only on
+    that rare path).
+    """
     mp1 = Vt.shape[0]
     rdtype = jnp.finfo(Vt.dtype).dtype
 
-    # fori_loop with a STATIC trip count, not while_loop: XLA pipelines the
-    # fixed-count loop (double-buffered HBM streaming) but cannot for a
-    # dynamic-exit loop — measured 5.4x faster per iteration on TPU with
-    # bit-identical results.  Breakdown cannot exit early, so steps past the
-    # first breakdown run "dead": they write zeros and are excluded by the
-    # returned n_iter (breakdown is rare; the waste is bounded and only on
-    # that rare path).
     def body_fn(j, state):
         Vt, H, bj = state
         dead = j >= bj
@@ -83,10 +85,66 @@ def _expand_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
         bj = jnp.where(breakdown & jnp.logical_not(dead), j + 1, bj)
         return Vt, H, bj
 
-    Vt, H, bj = lax.fori_loop(
-        start_dim, max_dim, body_fn, (Vt, H, jnp.asarray(max_dim + 1))
-    )
+    return lax.fori_loop(start, end, body_fn, (Vt, H, bj0))
+
+
+#: Segment width for the piecewise-static expansion (multiples of the f32
+#: sublane tile).  Chosen so each segment's workspace slice stays
+#: tile-aligned; the win is traffic: the masked CGS projections read the
+#: whole sliced workspace, so slicing at segment boundaries makes the cost
+#: of iteration j scale with ~roundup(j, SEG) instead of max_dim — close to
+#: halving hot-loop HBM traffic over a full expansion.
+_EXPAND_SEG = 16
+
+#: Auto-segmentation threshold: below this row count the extra compiled
+#: segments are not worth it.
+_SEG_MIN_N = 32768
+
+
+@partial(jax.jit, static_argnames=("start_dim", "max_dim", "ortho"))
+def _expand_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
+    ortho_fn = resolve_ortho(ortho)
+    Vt, H, bj = _expand_window(
+        op, Vt, H, invariant_tol, jnp.asarray(max_dim + 1),
+        start=start_dim, end=max_dim, ortho_fn=ortho_fn)
     return Vt, H, jnp.minimum(bj, max_dim)
+
+
+@partial(jax.jit, static_argnames=("start_dim", "max_dim", "ortho", "seg"))
+def _expand_segmented_jit(op, Vt, H, invariant_tol, *, start_dim, max_dim,
+                          ortho, seg=_EXPAND_SEG):
+    """Piecewise-static expansion: run the window in segments, each on a
+    row-SLICED workspace, so the projection matmuls touch only the rows
+    that can be active — one dispatch, several fori_loops in one program.
+    Identical semantics to :func:`_expand_jit` (same masking and breakdown
+    contract; results differ only at rounding level from the smaller
+    reduction shapes)."""
+    ortho_fn = resolve_ortho(ortho)
+    bj = jnp.asarray(max_dim + 1)
+    a = start_dim
+    while a < max_dim:
+        b_end = min((a // seg + 1) * seg, max_dim)
+        rows = b_end + 1
+        Vs, Hs, bj = _expand_window(
+            op, Vt[:rows], H[:rows], invariant_tol, bj,
+            start=a, end=b_end, ortho_fn=ortho_fn)
+        Vt = Vt.at[:rows].set(Vs)
+        H = H.at[:rows].set(Hs)
+        a = b_end
+    return Vt, H, jnp.minimum(bj, max_dim)
+
+
+def _expand_auto(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
+    """Dispatch to the segmented expansion when the problem is large enough
+    for the traffic saving to dominate the extra compile cost."""
+    if (Vt.shape[1] >= _SEG_MIN_N
+            and max_dim - start_dim > _EXPAND_SEG
+            and max_dim > 2 * _EXPAND_SEG):
+        return _expand_segmented_jit(
+            op, Vt, H, invariant_tol, start_dim=start_dim, max_dim=max_dim,
+            ortho=ortho)
+    return _expand_jit(op, Vt, H, invariant_tol, start_dim=start_dim,
+                       max_dim=max_dim, ortho=ortho)
 
 
 @partial(jax.jit, static_argnames=("start_block", "n_blocks", "b"))
@@ -171,7 +229,7 @@ def arnoldi_expand(A, Vt, H, invariant_tol=None, *, start_dim=0, max_dim=None,
         invariant_tol = default_invariant_tol(op.dtype)
 
     rdtype = jnp.finfo(jnp.asarray(Vt).dtype).dtype
-    return _expand_jit(
+    return _expand_auto(
         op, jnp.asarray(Vt), jnp.asarray(H), jnp.asarray(invariant_tol, rdtype),
         start_dim=int(start_dim), max_dim=int(max_dim), ortho=ortho,
     )

@@ -61,11 +61,11 @@ def _truncate_and_expand(op, Vt, Qp, H_new, invariant_tol, *, p, m, max_dim,
     milliseconds (or ~100 ms through a remote-TPU tunnel), so the restart
     loop performs exactly one upload (Qp, H_new) + one dispatch + one small
     download (H) per restart."""
-    from .decomposition import _expand_jit
+    from .decomposition import _expand_auto
 
     Vt = _truncate_basis(Vt, Qp, p=p, m=m)
-    return _expand_jit(op, Vt, H_new, invariant_tol, start_dim=p,
-                       max_dim=max_dim, ortho=ortho)
+    return _expand_auto(op, Vt, H_new, invariant_tol, start_dim=p,
+                        max_dim=max_dim, ortho=ortho)
 
 
 def _backend_supports_complex():

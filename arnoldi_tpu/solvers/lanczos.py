@@ -137,10 +137,10 @@ def _trl_solve_jit(op, v0_block, tol, *, nev, p, max_dim, max_restarts,
                                      n_blocks=m // b, b=b)
         healthy0 = jb == m // b
     else:
-        from .decomposition import _expand_jit
+        from .decomposition import _expand_auto
 
-        V, H, it = _expand_jit(op, V, H, tol, start_dim=0, max_dim=m,
-                               ortho=ortho)
+        V, H, it = _expand_auto(op, V, H, tol, start_dim=0, max_dim=m,
+                                ortho=ortho)
         healthy0 = it == m
 
     trace0 = jnp.full((max_restarts,), jnp.nan, rdtype)
@@ -185,10 +185,10 @@ def _trl_solve_jit(op, v0_block, tol, *, nev, p, max_dim, max_restarts,
                                                start_block=p // b,
                                                n_blocks=m // b, b=b)
                 return V3, H3, jb == m // b
-            from .decomposition import _expand_jit
+            from .decomposition import _expand_auto
 
-            V3, H3, it = _expand_jit(op, V2, H2, tol, start_dim=p,
-                                     max_dim=m, ortho=ortho)
+            V3, H3, it = _expand_auto(op, V2, H2, tol, start_dim=p,
+                                      max_dim=m, ortho=ortho)
             return V3, H3, it == m
 
         V3, H3, ok = lax.cond(

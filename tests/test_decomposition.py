@@ -203,3 +203,65 @@ class TestRitzDecomposition:
             rtol=RTOL,
             atol=ATOL,
         )
+
+
+class TestSegmentedExpansion:
+    """Piecewise-static expansion must reproduce the plain expansion
+    (identical masking/breakdown contract; rounding-level differences only
+    from the smaller reduction shapes)."""
+
+    def test_matches_plain(self):
+        import jax
+        import jax.numpy as jnp
+
+        from arnoldi_tpu.linop import as_operator
+        from arnoldi_tpu.matrices import mark
+        from arnoldi_tpu.solvers.decomposition import (_expand_jit,
+                                                       _expand_segmented_jit)
+        from arnoldi_tpu.utils.random import rand_normalized_vector
+
+        op = as_operator(mark(40))  # n=820
+        n = op.shape[0]
+        m = 40
+        v0 = rand_normalized_vector(jax.random.key(3), n, jnp.float64)
+        Vt0 = jnp.zeros((m + 1, n)).at[0].set(v0)
+        H0 = jnp.zeros((m + 1, m))
+        tol = jnp.asarray(1e-12)
+        Vp, Hp, itp = _expand_jit(op, Vt0, H0, tol, start_dim=0, max_dim=m,
+                                  ortho="cgs2")
+        Vs, Hs, its = _expand_segmented_jit(op, Vt0, H0, tol, start_dim=0,
+                                            max_dim=m, ortho="cgs2")
+        assert int(itp) == int(its) == m
+        np.testing.assert_allclose(np.asarray(Vs), np.asarray(Vp),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hp),
+                                   atol=1e-10)
+        # restart-style start_dim > 0 (not segment-aligned)
+        Vp2, Hp2, _ = _expand_jit(op, Vp, Hp, tol, start_dim=13, max_dim=m,
+                                  ortho="cgs2")
+        Vs2, Hs2, _ = _expand_segmented_jit(op, Vp, Hp, tol, start_dim=13,
+                                            max_dim=m, ortho="cgs2")
+        np.testing.assert_allclose(np.asarray(Vs2), np.asarray(Vp2),
+                                   atol=1e-10)
+
+    def test_breakdown_crosses_segments(self):
+        import jax.numpy as jnp
+
+        from arnoldi_tpu.linop import as_operator
+        from arnoldi_tpu.solvers.decomposition import _expand_segmented_jit
+
+        # rank-2 operator: breakdown at iteration 2, segments keep running
+        # dead and n_iter reports the breakdown point.
+        rng = np.random.default_rng(0)
+        u = rng.standard_normal((64, 2))
+        A = u @ u.T
+        op = as_operator(A)
+        m = 40
+        v0 = rng.standard_normal(64)
+        v0 /= np.linalg.norm(v0)
+        Vt0 = jnp.zeros((m + 1, 64)).at[0].set(jnp.asarray(v0))
+        H0 = jnp.zeros((m + 1, m))
+        _, _, it = _expand_segmented_jit(op, Vt0, H0, jnp.asarray(1e-10),
+                                         start_dim=0, max_dim=m,
+                                         ortho="cgs2")
+        assert int(it) <= 3
