@@ -252,12 +252,22 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     vals2 = np.asarray(vals2)
     vecs2 = np.asarray(vecs2)
 
-    # Extraction + conjugate-copy rejection in one stroke: for any
-    # real-representation eigenpair (lambda, [w1; w2]), z = w1 + i w2
-    # satisfies A z = lambda z when lambda belongs to A's spectrum, and is
-    # IDENTICALLY ZERO for the spurious conjugate copies (whose eigenvectors
-    # have w2 = +i w1).  So keep pairs with a significant z, deduping
-    # repeated values, in the sort order.
+    # Extraction + conjugate-copy rejection: for any real-representation
+    # eigenpair (lambda, [w1; w2]), z = w1 + i w2 satisfies A z = lambda z
+    # when lambda belongs to A's spectrum, and is IDENTICALLY ZERO for the
+    # spurious conjugate copies (whose eigenvectors have w2 = +i w1).
+    # Candidates passing the projector test are then VERIFIED by their true
+    # residual against A whenever A supports a host matvec — the definitive
+    # classifier for adversarial near-conjugate clusters where magnitude
+    # heuristics alone can misfile a copy as genuine.
+    import scipy.sparse as _sp
+
+    tol_eff = tol if tol is not None else float(
+        np.sqrt(np.finfo(np.dtype(dtype) if dtype is not None
+                         else np.float32).eps))
+    can_matvec = _sp.issparse(A) or isinstance(A, np.ndarray)
+    res_tol = max(100.0 * tol_eff, 1e-6)
+
     order = np.asarray(sort_function(vals2))
     picked_vals, picked_vecs = [], []
     for i in order:
@@ -267,12 +277,18 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
         if nz < 0.1:            # conjugate copy: the projector annihilates it
             continue
         z = z / nz
+        if can_matvec:
+            res = np.linalg.norm(A @ z - lam * z) / max(1.0, abs(lam))
+            if res > res_tol:
+                continue        # projector survivor that is NOT an eigenpair
         # Dedup by eigenvector DIRECTION, not value: a real eigenvalue of A
         # yields two real-representation copies whose z land in the same
         # 1-D span (collapse them), while a genuinely multiple eigenvalue
-        # has independent eigenvectors (keep both).
+        # has independent eigenvectors (keep both).  The value window
+        # scales with the convergence tolerance rather than a fixed 1e-6.
+        val_tol = max(10.0 * tol_eff, 1e-9)
         dup = any(
-            abs(lam - v) < 1e-6 * max(1.0, abs(lam))
+            abs(lam - v) < val_tol * max(1.0, abs(lam))
             and abs(np.vdot(pz, z)) > 0.99
             for v, pz in zip(picked_vals, picked_vecs)
         )
