@@ -147,20 +147,15 @@ def _expand_auto(op, Vt, H, invariant_tol, *, start_dim, max_dim, ortho):
                        max_dim=max_dim, ortho=ortho)
 
 
-@partial(jax.jit, static_argnames=("start_block", "n_blocks", "b"))
-def _block_expand_jit(op, Vt, H, invariant_tol, *, start_block, n_blocks, b):
-    """Block Arnoldi expansion: process ``b`` vectors per step with one
-    operator matmat + one :func:`arnoldi_tpu.ops.ortho.block_cgs2` (two gemm
-    projections + CholQR2).  Workspace ``Vt: (n_blocks*b + b, n)``,
-    ``H: (n_blocks*b + b, n_blocks*b)``.  Block ``j`` occupies rows
-    ``j*b..(j+1)*b``; on entry the block at ``start_block`` must hold
-    orthonormal start vectors.  Returns ``(Vt, H, n_done_blocks)``.
-    """
+def _block_expand_window(op, Vt, H, invariant_tol, bj0, *, start_block,
+                         end_block, b):
+    """Block expansion steps ``start_block..end_block`` on a (possibly
+    row-sliced) workspace, threading the breakdown block index."""
     from ..ops.ortho import block_cgs2
 
     mpb = Vt.shape[0]
 
-    # Static-trip-count fori_loop (see _expand_jit): steps at or past a
+    # Static-trip-count fori_loop (see _expand_window): steps at or past a
     # rank-deficient block run dead and leave the workspace untouched; the
     # factorization stays valid up to bj blocks.
     def body_fn(j, state):
@@ -185,10 +180,40 @@ def _block_expand_jit(op, Vt, H, invariant_tol, *, start_block, n_blocks, b):
         bj = jnp.where(breakdown & jnp.logical_not(dead), j, bj)
         return Vt, H, bj
 
-    Vt, H, bj = lax.fori_loop(
-        start_block, n_blocks, body_fn,
-        (Vt, H, jnp.asarray(n_blocks + 1)),
-    )
+    return lax.fori_loop(start_block, end_block, body_fn, (Vt, H, bj0))
+
+
+@partial(jax.jit, static_argnames=("start_block", "n_blocks", "b"))
+def _block_expand_jit(op, Vt, H, invariant_tol, *, start_block, n_blocks, b):
+    """Block Arnoldi expansion: process ``b`` vectors per step with one
+    operator matmat + one :func:`arnoldi_tpu.ops.ortho.block_cgs2` (two gemm
+    projections + CholQR2).  Workspace ``Vt: (n_blocks*b + b, n)``,
+    ``H: (n_blocks*b + b, n_blocks*b)``.  Block ``j`` occupies rows
+    ``j*b..(j+1)*b``; on entry the block at ``start_block`` must hold
+    orthonormal start vectors.  Returns ``(Vt, H, n_done_blocks)``.
+
+    Auto-segments on large problems (see :func:`_expand_segmented_jit` —
+    the block projections otherwise read the full workspace every step).
+    """
+    seg_blocks = max(_EXPAND_SEG // b, 2)
+    if (Vt.shape[1] >= _SEG_MIN_N
+            and n_blocks - start_block > seg_blocks
+            and n_blocks > 2 * seg_blocks):
+        bj = jnp.asarray(n_blocks + 1)
+        a = start_block
+        while a < n_blocks:
+            e = min((a // seg_blocks + 1) * seg_blocks, n_blocks)
+            rows = (e + 1) * b
+            Vs, Hs, bj = _block_expand_window(
+                op, Vt[:rows], H[:rows], invariant_tol, bj,
+                start_block=a, end_block=e, b=b)
+            Vt = Vt.at[:rows].set(Vs)
+            H = H.at[:rows].set(Hs)
+            a = e
+        return Vt, H, jnp.minimum(bj, n_blocks)
+    Vt, H, bj = _block_expand_window(
+        op, Vt, H, invariant_tol, jnp.asarray(n_blocks + 1),
+        start_block=start_block, end_block=n_blocks, b=b)
     return Vt, H, jnp.minimum(bj, n_blocks)
 
 

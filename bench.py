@@ -72,7 +72,7 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3, b=1):
     from arnoldi_tpu.linop import as_operator
     from arnoldi_tpu.matrices import laplace_2d
     from arnoldi_tpu.ops.ortho import block_cgs2
-    from arnoldi_tpu.solvers.decomposition import _block_expand_jit, _expand_jit
+    from arnoldi_tpu.solvers.decomposition import _block_expand_jit, _expand_auto
     from arnoldi_tpu.utils.random import rand_normalized_vector
 
     dtype = np.float32 if on_tpu else np.float64
@@ -84,8 +84,8 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3, b=1):
     if b == 1:
         def one_cycle(v0):
             Vt = jnp.zeros((max_dim + 1, n), dtype).at[0, :].set(v0)
-            return _expand_jit(op, Vt, H, tolv, start_dim=0,
-                               max_dim=max_dim, ortho="cgs2")
+            return _expand_auto(op, Vt, H, tolv, start_dim=0,
+                                max_dim=max_dim, ortho="cgs2")
     else:
         def one_cycle(v0):
             Vt = jnp.zeros((max_dim + b, n), dtype)
@@ -188,7 +188,9 @@ def main_solve(m_grid=300):
     A = mark(m_grid)
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
-    tol = 3e-4 if on_tpu else 1e-8
+    # 1e-8 everywhere: the TPU path auto-engages double-word refinement
+    # (solvers/refine.py) to reach it from float32.
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
     Af = A.astype(dtype)
 
     max_dim = int(os.environ.get("BENCH_MAX_DIM", "80"))
@@ -237,8 +239,77 @@ def main_solve(m_grid=300):
     }))
 
 
+def main_scattered(n=1 << 20):
+    """Large-problem end-to-end solve on general scattered sparsity
+    (SuiteSparse stand-in; BASELINE.json config: K=5 of a 1M+-row matrix
+    to 1e-8 residual).  ``python bench.py scattered [n]``."""
+    import jax
+
+    from arnoldi_tpu import partial_schur
+    from arnoldi_tpu.matrices import random_scattered
+    from arnoldi_tpu.utils.sorting import arg_largest_real
+
+    k = 5
+    A = random_scattered(n, 8, seed=1)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = np.float32 if on_tpu else np.float64
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
+    Af = A.astype(dtype)
+    max_dim = int(os.environ.get("BENCH_MAX_DIM", "40"))
+    kwargs = dict(max_dim=max_dim, stopping_criterion=tol,
+                  sort_function=arg_largest_real, max_restarts=2000,
+                  dtype=dtype, ortho="cgs2", key=jax.random.key(0))
+
+    partial_schur(Af, k, **kwargs)            # warm (compile)
+    kwargs["key"] = jax.random.key(1)         # defeat terminal replay cache
+    t0 = time.perf_counter()
+    Q, T, hist = partial_schur(Af, k, **kwargs)
+    jax.block_until_ready(Q)
+    ours_s = time.perf_counter() - t0
+
+    Qh, Th = np.asarray(Q, np.float64), np.asarray(T, np.float64)
+    schur_res = np.linalg.norm(A @ Qh - Qh @ Th, axis=0)
+    schur_rel = schur_res / np.abs(np.linalg.eigvals(Th)).max()
+
+    from scipy.sparse.linalg import eigs
+
+    from arnoldi_tpu.harness.suite import MatvecCounter
+
+    counter = MatvecCounter(A)
+    t0 = time.perf_counter()
+    r_vals, _ = eigs(counter, k, which="LR", tol=tol, ncv=max_dim)
+    arpack_s = time.perf_counter() - t0
+
+    vals = np.linalg.eigvals(Th)
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.abs(vals[:, None] - r_vals[None, :])
+    ri, ci = linear_sum_assignment(cost)
+    match_err = float(np.abs(vals[ri] - r_vals[ci]).max())
+
+    print(json.dumps({
+        "metric": f"partial_schur_scattered_n{n}_k{k}_LR_wall",
+        "value": round(ours_s, 4),
+        "unit": "s",
+        "vs_baseline": round(arpack_s / ours_s, 4),
+        "n": int(A.shape[0]),
+        "nnz": int(A.nnz),
+        "device": jax.devices()[0].platform,
+        "dtype": str(np.dtype(dtype)),
+        "tol": tol,
+        "matvecs": int(hist.total_matvecs),
+        "restarts": int(hist.restarts.max()),
+        "max_schur_residual": float(schur_rel.max()),
+        "arpack_seconds": round(arpack_s, 4),
+        "arpack_matvecs": int(counter.n_matvecs),
+        "eigval_match_err": match_err,
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "solve":
         main_solve(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
+    elif len(sys.argv) > 1 and sys.argv[1] == "scattered":
+        main_scattered(int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20)
     else:
         main_hot_loop()
