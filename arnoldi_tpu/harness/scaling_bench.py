@@ -17,20 +17,30 @@ import time
 
 
 def run_scaling(n_grid=256, device_counts=(1, 2, 4, 8), max_dim=40,
-                cycles=2, dtype="float32"):
+                cycles=2, dtype="float32", matrix="laplace", halo=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..linop import as_operator, pad_operator
-    from ..matrices import laplace_2d
-    from ..parallel import make_mesh, shard_operator, shard_workspace
+    from ..matrices import laplace_2d, random_scattered
+    from ..parallel import (halo_matvec_closure, make_mesh, shard_operator,
+                            shard_workspace)
     from ..solvers.decomposition import _expand_jit
     from ..utils.random import rand_normalized_vector
 
     dt = np.dtype(dtype)
-    A = laplace_2d(n_grid).astype(dt)
-    base = as_operator(A)
+    if matrix == "laplace":
+        base = as_operator(laplace_2d(n_grid).astype(dt))
+        gran = 1
+    elif matrix == "scattered":
+        # BSR-8 halo path on general scattered sparsity.
+        base = as_operator(random_scattered(n_grid * n_grid, 8, seed=0,
+                                            dtype=dt),
+                           format=("bsr", (8, 8)))
+        gran = 8
+    else:
+        raise ValueError(f"matrix={matrix!r}: expected laplace|scattered")
     n = base.shape[0]
     results = []
 
@@ -38,8 +48,13 @@ def run_scaling(n_grid=256, device_counts=(1, 2, 4, 8), max_dim=40,
         if nd > len(jax.devices()):
             continue
         mesh = make_mesh(nd)
-        n_pad = -(-n // nd) * nd
+        g = nd * gran
+        n_pad = -(-n // g) * g
         op = shard_operator(pad_operator(base, n_pad), mesh)
+        if halo:
+            # Explicit ring halo exchange (no all-gather of x) — the
+            # production distributed matvec.
+            op = halo_matvec_closure(op, mesh)
         H = jnp.zeros((max_dim + 1, max_dim), dt)
         Vt0 = jnp.zeros((max_dim + 1, n_pad), dt)
         Vt0, H = shard_workspace(Vt0, H, mesh)
@@ -77,11 +92,16 @@ def main(argv=None):
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--max-dim", type=int, default=40)
+    ap.add_argument("--matrix", default="laplace",
+                    choices=("laplace", "scattered"))
+    ap.add_argument("--no-halo", action="store_true",
+                    help="use the GSPMD gather path instead of ring halos")
     args = ap.parse_args(argv)
 
     counts = tuple(int(x) for x in args.devices.split(","))
     results = run_scaling(n_grid=args.grid, device_counts=counts,
-                          max_dim=args.max_dim)
+                          max_dim=args.max_dim, matrix=args.matrix,
+                          halo=not args.no_halo)
     print(json.dumps(results, indent=2))
     return 0
 

@@ -12,6 +12,15 @@ CGS projection is two streaming passes over ``Vt``:
 Together one DGKS-checked CGS pass touches ``Vt`` exactly twice — the
 bandwidth lower bound.  Real dtypes only (the TPU device path); the complex
 CPU path keeps the XLA implementation.
+
+MEASURED on-chip (v5e, n=524k, m=80, f32, slope-corrected): the XLA cgs2
+path runs 1.51 ms/iter (0.95 with the segmented expansion) vs 2.03 ms/iter
+for this kernel — XLA already fuses the mask into its projection matmuls
+and pipelines the streaming passes better than the hand-tiled grid, and
+the only traffic this fusion saves (re-reading w for the norm, ~2 MB vs
+the 170 MB basis read) is negligible.  The kernel therefore stays a
+non-default registered alternative (``ortho="cgs2_pallas"``), kept for the
+measurement harness and as the base for future manual-DMA variants.
 """
 
 from functools import partial
@@ -26,6 +35,16 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def _auto_block(mp1, requested, n):
+    """Clamp the column-tile width so a double-buffered (mp1, block) f32
+    tile fits the ~16 MB VMEM budget (measured: (161, 16384) blocks OOM
+    the scoped allocation)."""
+    budget = 12 << 20  # leave headroom below the 16 MB limit
+    max_cols = budget // (mp1 * 4 * 2)
+    block = max(128, min(requested, (max_cols // 128) * 128))
+    return min(block, _ceil_to(n, 128))
+
+
 @partial(jax.jit, static_argnames=("interpret", "block_cols"))
 def masked_project_pallas(Vt, w, mask, *, interpret=False, block_cols=16384):
     """``c = mask * (Vt @ w)`` with column-tiled accumulation.
@@ -33,7 +52,7 @@ def masked_project_pallas(Vt, w, mask, *, interpret=False, block_cols=16384):
     Vt: (mp1, n) real; w: (n,); mask: (mp1,) in Vt.dtype.
     """
     mp1, n = Vt.shape
-    block = block_cols
+    block = _auto_block(mp1, block_cols, n)
     n_pad = _ceil_to(n, block)
     if n_pad != n:
         Vt = jnp.pad(Vt, ((0, 0), (0, n_pad - n)))
@@ -86,7 +105,7 @@ def project_update_norm_pallas(Vt, w, c, *, interpret=False,
     XLA path pays is folded into the update.
     """
     mp1, n = Vt.shape
-    block = block_cols
+    block = _auto_block(mp1, block_cols, n)
     n_pad = _ceil_to(n, block)
     if n_pad != n:
         Vt = jnp.pad(Vt, ((0, 0), (0, n_pad - n)))
