@@ -34,8 +34,11 @@ def run_scaling(n_grid=256, device_counts=(1, 2, 4, 8), max_dim=40,
         base = as_operator(laplace_2d(n_grid).astype(dt))
         gran = 1
     elif matrix == "scattered":
-        # BSR-8 halo path on general scattered sparsity.
-        base = as_operator(random_scattered(n_grid * n_grid, 8, seed=0,
+        # BSR-8 halo path on banded-scattered sparsity (random columns
+        # within a bandwidth that fits the largest mesh's shard size).
+        n_s = n_grid * n_grid
+        bw = max(n_s // (4 * max(device_counts)), 8)
+        base = as_operator(random_scattered(n_s, 8, seed=0, bandwidth=bw,
                                             dtype=dt),
                            format=("bsr", (8, 8)))
         gran = 8

@@ -139,7 +139,7 @@ def load_matrix_market(path, dtype=None):
 
 
 def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
-                     dtype=np.float64):
+                     bandwidth=None, dtype=np.float64):
     """Large random SCATTERED-sparsity test matrix with a controlled
     spectrum (the SuiteSparse stand-in for the zero-egress benchmark
     environment; the reference's corpus fetcher
@@ -154,11 +154,23 @@ def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
     ``coupling`` of d: nonsymmetric, non-normal, largest-real eigenvalues
     near the separated outliers.
 
+    ``bandwidth`` (optional) confines the random columns to
+    ``|col - row| <= bandwidth`` — the scattered-within-a-band profile of
+    FE/mesh matrices, and the shape the distributed ring-halo SpMV
+    (``arnoldi_tpu.parallel.halo_spmv``) is built for; None scatters
+    columns globally.
+
     Returns CSR.  Memory: O(n * nnz_per_row).
     """
     rng = np.random.default_rng(seed)
     rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
-    cols = rng.integers(0, n, size=n * nnz_per_row, dtype=np.int64)
+    if bandwidth is None:
+        cols = rng.integers(0, n, size=n * nnz_per_row, dtype=np.int64)
+    else:
+        bw = int(bandwidth)
+        delta = rng.integers(-bw, bw + 1, size=n * nnz_per_row,
+                             dtype=np.int64)
+        cols = np.clip(rows + delta, 0, n - 1)
     # scale so each row's off-diagonal absolute sum ~= coupling
     vals = rng.uniform(-1.0, 1.0, size=n * nnz_per_row)
     vals *= coupling / nnz_per_row * 2.0
