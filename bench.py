@@ -189,9 +189,11 @@ def main_solve(m_grid=300):
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
     # 1e-8 everywhere: the TPU path auto-engages double-word refinement
-    # (solvers/refine.py) to reach it from float32.
+    # (solvers/refine.py) to reach it from float32.  Pass the f64 matrix
+    # (NOT a pre-cast copy) so the refinement can target the true matrix
+    # via the cast-residual operator.
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
-    Af = A.astype(dtype)
+    Af = A
 
     max_dim = int(os.environ.get("BENCH_MAX_DIM", "80"))
     kwargs = dict(max_dim=max_dim, p=max_dim // 4, stopping_criterion=tol,
@@ -254,7 +256,7 @@ def main_scattered(n=1 << 20):
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
-    Af = A.astype(dtype)
+    Af = A  # f64 host matrix: refinement targets the true matrix
     max_dim = int(os.environ.get("BENCH_MAX_DIM", "40"))
     kwargs = dict(max_dim=max_dim, stopping_criterion=tol,
                   sort_function=arg_largest_real, max_restarts=2000,

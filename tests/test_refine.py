@@ -134,3 +134,21 @@ class TestRefinedSolvers:
             sort_function=arg_largest_real, max_restarts=300, op_lo=op_lo)
         res = np.linalg.norm(A.todense() @ Q - Q @ T, axis=0)
         assert res.max() < 1e-8
+
+
+class TestRefineBsr:
+    def test_partial_schur_bsr_refine(self):
+        # The TPU auto-selected format for scattered sparsity must refine.
+        from arnoldi_tpu.linop import as_operator
+
+        A = mark(25)
+        op = as_operator(A.astype(np.float32), format=("bsr", (8, 8)))
+        Q, T, hist = partial_schur(
+            op, 3, max_dim=18, stopping_criterion=1e-8,
+            sort_function=arg_largest_real, max_restarts=2000,
+            dtype=np.float32, ortho="cgs2", key=jax.random.key(2))
+        # NOTE op was built from the f32 cast, so the refinement target IS
+        # the f32 matrix here (op_lo None: A not threaded through op).
+        A32 = A.astype(np.float32).astype(np.float64)
+        res = np.linalg.norm(A32 @ Q - Q @ T, axis=0)
+        assert res.max() < 1e-8, res.max()
