@@ -1,22 +1,26 @@
-"""Pallas banded (DIA) SpMV kernel.
+"""Pallas banded (DIA) SpMV kernel — 2-D tiled layout.
 
 ``y[i] = sum_d bands[d][i] * x[i + offsets[d]]`` — the stencil matvec for
-the Laplace operator family.  The XLA fallback in
-:class:`arnoldi_tpu.linop.BandedOperator` materializes one shifted copy of
-``x`` per diagonal (k pad+concat temporaries, ~3k vector round-trips to
-HBM); this kernel keeps the haloed ``x`` resident in VMEM, streams each
-band tile through once, and accumulates in registers: bytes moved
-~= bands + x + y, the bandwidth lower bound.
+the Laplace operator family.
 
-Current limit: ``x`` must fit in VMEM (~16 MB => n up to ~4M float32);
-beyond that the operator falls back to the XLA path.  A double-buffered
-windowed variant is the follow-up for larger n.
+Design (third iteration, measured on-chip):
 
-Measured on-chip (n = 2.1M pentadiagonal, replay-proof): 1.66 ms/matvec vs
-1.23 ms for the XLA shift-add path — XLA's fusion currently wins (this
-kernel still pads its output to 8 sublane copies), so the XLA backend
-remains the default; the kernel is kept as the explicit-staging variant
-and the basis for the halo-exchange/remote-DMA follow-up.
+* v1 (round 1) kept x as one long ``(1, N)`` row: every VPU op then uses a
+  single sublane of each (8, 128) vector register — 1/8 throughput — and
+  padded bands 5->8 sublanes.  Measured 0.95 ms/matvec at n=2.1M.
+* v2 removed the 8-sublane output broadcast: 0.88 ms.
+* THIS version reshapes x into ``(R, cols)`` rows with ``halo``-column
+  overlaps built from three strided reshapes + one concat (NOT a gather —
+  a windowed gather measured 21 ms), so every kernel op is a full
+  ``(row_block, cols)`` tile and the band arrays stream unpadded.
+  Measured 0.68 ms/matvec vs 0.66 ms for XLA's fused shift-and-add —
+  PARITY; the ~0.03 ms staging concat is the remaining difference.
+
+XLA's fusion is at parity on this streaming stencil, so the XLA backend
+stays the default; the kernel remains the explicit-staging variant
+(``backend="pallas"``) and the base for halo/remote-DMA extensions.
+Works for any n (the old whole-x-in-VMEM limit is gone: only
+``(row_block, cols + 2*halo)`` tiles are resident).
 """
 
 from functools import partial
@@ -31,9 +35,10 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("offsets", "interpret", "block_rows"))
-def banded_matvec_pallas(bands, x, offsets, *, interpret=False,
-                         block_rows=8192):
+@partial(jax.jit, static_argnames=("offsets", "interpret", "cols",
+                                   "row_block"))
+def banded_matvec_pallas(bands, x, offsets, *, interpret=False, cols=8192,
+                         row_block=8):
     """Banded matvec. ``bands``: (k, n) aligned as in
     :class:`arnoldi_tpu.linop.BandedOperator` (``bands[d][i]`` multiplies
     ``x[i + offsets[d]]``); ``offsets``: static tuple; ``x``: (n,).
@@ -43,48 +48,49 @@ def banded_matvec_pallas(bands, x, offsets, *, interpret=False,
     out_dtype = jnp.result_type(bands.dtype, x.dtype)
 
     halo = int(max((abs(int(o)) for o in offsets), default=0))
-    halo_pad = _ceil_to(max(halo, 1), 128)
-    block = block_rows
-    n_pad = _ceil_to(n, block)
+    h = _ceil_to(max(halo, 1), 128)
+    C = cols
+    while h > C:
+        C *= 2  # widen rows until the halo fits one row overlap
+    n_pad = _ceil_to(n, C * row_block)
+    R = n_pad // C
 
-    # x staged as (1, n_pad + 2*halo_pad) with zero halos; bands (k, n_pad).
-    xp = jnp.zeros((8, n_pad + 2 * halo_pad), dtype=out_dtype)
-    xp = jax.lax.dynamic_update_slice(
-        xp, x.astype(out_dtype)[None, :], (0, halo_pad))
-    # Pad the band count to a full sublane tile (Mosaic rejects sub-8
-    # sublane block shapes on some toolchains).
-    k_pad = -(-k // 8) * 8
-    bp = jnp.zeros((k_pad, n_pad), dtype=out_dtype)
-    bp = jax.lax.dynamic_update_slice(bp, bands.astype(out_dtype), (0, 0))
+    # xpad[h + i] = x[i]; length covers all three strided views below.
+    xpad = jnp.zeros(n_pad + C + 2 * h, out_dtype)
+    xpad = jax.lax.dynamic_update_slice(xpad, x.astype(out_dtype), (h,))
+    # Overlapping rows xs[r] = xpad[r*C : r*C + C + 2h] via three strided
+    # reshapes + one concat (a windowed GATHER here is ~30x slower).
+    L = xpad[: R * C].reshape(R, C)[:, :h]
+    M = xpad[h : h + R * C].reshape(R, C)
+    Rt = xpad[C + h : C + h + R * C].reshape(R, C)[:, :h]
+    xs = jnp.concatenate([L, M, Rt], axis=1)          # (R, C + 2h)
 
-    grid = (n_pad // block,)
+    bp = bands.astype(out_dtype)
+    if n_pad != n:
+        bp = jnp.pad(bp, ((0, 0), (0, n_pad - n)))
+    b3 = bp.reshape(k, R, C)
 
-    def kernel(b_ref, x_ref, o_ref):
-        i = pl.program_id(0)
-        # One ALIGNED dynamic window per tile (start = i*block, a lane
-        # multiple); the per-diagonal offsets are applied as STATIC slices
-        # of the window — Mosaic handles static unaligned slices but not
-        # unaligned dynamic ones.
-        win = x_ref[0:1, pl.ds(pl.multiple_of(i * block, 128),
-                               block + 2 * halo_pad)]
-        acc = jnp.zeros((1, block), dtype=out_dtype)
+    grid = (R // row_block,)
+
+    def kernel(b_ref, xs_ref, o_ref):
+        acc = jnp.zeros((row_block, C), dtype=out_dtype)
         for d, off in enumerate(offsets):
-            lo = halo_pad + int(off)
-            seg = win[:, lo : lo + block]
-            acc = acc + b_ref[d:d + 1, :] * seg
-        o_ref[:, :] = jnp.broadcast_to(acc, o_ref.shape)
+            lo = h + int(off)
+            acc = acc + b_ref[d] * xs_ref[:, lo : lo + C]
+        o_ref[:, :] = acc
 
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((8, n_pad), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((R, C), out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((k_pad, block), lambda i: (0, i),
+            pl.BlockSpec((k, row_block, C), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full haloed x
+            pl.BlockSpec((row_block, C + 2 * h), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, block), lambda i: (0, i),
+        out_specs=pl.BlockSpec((row_block, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(bp, xp)
-    return y[0, :n]
+    )(b3, xs)
+    return y.reshape(-1)[:n]

@@ -18,26 +18,26 @@ from arnoldi_tpu.ops.pallas.spmv_banded import banded_matvec_pallas
 
 
 class TestBandedPallas:
-    @pytest.mark.parametrize("gen,block", [
+    @pytest.mark.parametrize("gen,cols", [
         (lambda: laplace(777).tocsr(), 256),
         (lambda: laplace_2d(40), 512),
         (lambda: laplace_2d(33, 20), 256),
     ])
-    def test_matches_operator(self, gen, block):
+    def test_matches_operator(self, gen, cols):
         op = as_operator(gen())
         n = op.shape[0]
         x = jnp.asarray(np.random.default_rng(0).standard_normal(n)
                         .astype(np.float32))
         y_ref = np.asarray(op.matvec(x))
         y = np.asarray(banded_matvec_pallas(op.bands, x, op.offsets,
-                                            interpret=True, block_rows=block))
+                                            interpret=True, cols=cols))
         np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
     def test_float64(self):
         op = as_operator(laplace(300).tocsr())
         x = jnp.asarray(np.random.default_rng(1).standard_normal(300))
         y = np.asarray(banded_matvec_pallas(op.bands, x, op.offsets,
-                                            interpret=True, block_rows=128))
+                                            interpret=True, cols=128))
         np.testing.assert_allclose(y, np.asarray(op.matvec(x)), atol=1e-12)
 
 
