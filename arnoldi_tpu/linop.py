@@ -467,8 +467,9 @@ def as_operator(A, dtype=None, format=None, backend=None):
                 op = BandedOperator.from_scipy(A, dtype=dtype)
             elif jax.default_backend() == "tpu":
                 # Scattered sparsity: scalar gathers are very slow on TPU
-                # (measured ~8x slower than block gathers on mark matrices),
-                # so prefer 8x8 BSR whenever the zero-fill stays moderate.
+                # (measured on mark(1000), n=500k: scalar-ELL 14.9 ms/matvec
+                # vs BSR-8 3.6 ms), so prefer 8x8 BSR whenever the
+                # zero-fill stays moderate.
                 r = c = 8
                 blocks = np.unique(
                     (coo.row // r).astype(np.int64) * ((A.shape[1] // c) + 2)

@@ -9,6 +9,17 @@ of issuing HBM-latency loads, and the multiply/reduce runs on the VPU.
 Current limit: ``x`` must fit in VMEM (n up to ~4M float32).  The XLA
 ``jnp.take`` path remains the fallback (and the baseline this kernel is
 benchmarked against).
+
+MEASURED REALITY (v5e, jax 0.9 Mosaic): the toolchain lowers
+``take_along_axis`` gathers ONLY within a single (8, 128) vector register
+— every realistic shape fails to compile (probed: (8,1024)/(8,65536)
+lane gathers, (64..1024, 128) sublane gathers, shorter-index variants; only
+(8,128)-from-(8,128) compiles).  A general scattered gather therefore
+CANNOT be expressed in-kernel; this kernel runs in interpret mode for
+tests and compiles only for toy widths.  The production answer for
+scattered sparsity is the BSR-8 operator: measured on mark(1000)
+(n=500k) on-chip, XLA scalar-ELL gather = 14.9 ms/matvec vs BSR-8 =
+3.6 ms — the dense 8x8 blocks amortize the gather 8x and feed the MXU.
 """
 
 from functools import partial
