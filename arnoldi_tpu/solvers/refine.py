@@ -75,12 +75,13 @@ def dw_cgs2(Vh, Vl, wh, wl, n_active, *, tol=DW_INVARIANT_TOL):
     return (hh, hl), (wh, wl), (bh, bl), bh < tol
 
 
-@partial(jax.jit, static_argnames=("start_dim", "max_dim"))
-def _dw_expand_jit(op, Vh, Vl, Hh, Hl, invariant_tol, *, start_dim, max_dim,
-                   op_lo=None):
-    """Double-word Arnoldi expansion — the dw mirror of
-    ``decomposition._expand_jit`` (static-trip-count ``fori_loop``,
-    dead-step masking after a breakdown)."""
+def _dw_expand_window(op, Vh, Vl, Hh, Hl, invariant_tol, bj0, *, start, end,
+                      op_lo=None):
+    """Double-word expansion steps ``start..end`` on a (possibly
+    row-sliced) workspace — the dw mirror of
+    ``decomposition._expand_window`` (static-trip-count ``fori_loop``,
+    dead-step masking after a breakdown, breakdown index threaded so
+    segments compose)."""
     mp1 = Vh.shape[0]
 
     def body_fn(j, state):
@@ -111,9 +112,38 @@ def _dw_expand_jit(op, Vh, Vl, Hh, Hl, invariant_tol, *, start_dim, max_dim,
         bj = jnp.where(breakdown & jnp.logical_not(dead), j + 1, bj)
         return Vh, Vl, Hh, Hl, bj
 
-    Vh, Vl, Hh, Hl, bj = lax.fori_loop(
-        start_dim, max_dim, body_fn,
-        (Vh, Vl, Hh, Hl, jnp.asarray(max_dim + 1)))
+    return lax.fori_loop(start, end, body_fn, (Vh, Vl, Hh, Hl, bj0))
+
+
+@partial(jax.jit, static_argnames=("start_dim", "max_dim"))
+def _dw_expand_jit(op, Vh, Vl, Hh, Hl, invariant_tol, *, start_dim, max_dim,
+                   op_lo=None):
+    """Double-word Arnoldi expansion; auto-segments on large problems
+    (same traffic argument as ``decomposition._expand_segmented_jit`` —
+    the dw CGS2 reads BOTH limb arrays of the full workspace every
+    iteration, so row-slicing at static boundaries nearly halves the
+    dominant HBM traffic)."""
+    from .decomposition import _EXPAND_SEG, _SEG_MIN_N
+
+    if (Vh.shape[1] >= _SEG_MIN_N and max_dim - start_dim > _EXPAND_SEG
+            and max_dim > 2 * _EXPAND_SEG):
+        bj = jnp.asarray(max_dim + 1)
+        a = start_dim
+        while a < max_dim:
+            b_end = min((a // _EXPAND_SEG + 1) * _EXPAND_SEG, max_dim)
+            rows = b_end + 1
+            Vhs, Vls, Hhs, Hls, bj = _dw_expand_window(
+                op, Vh[:rows], Vl[:rows], Hh[:rows], Hl[:rows],
+                invariant_tol, bj, start=a, end=b_end, op_lo=op_lo)
+            Vh = Vh.at[:rows].set(Vhs)
+            Vl = Vl.at[:rows].set(Vls)
+            Hh = Hh.at[:rows].set(Hhs)
+            Hl = Hl.at[:rows].set(Hls)
+            a = b_end
+        return Vh, Vl, Hh, Hl, jnp.minimum(bj, max_dim)
+    Vh, Vl, Hh, Hl, bj = _dw_expand_window(
+        op, Vh, Vl, Hh, Hl, invariant_tol, jnp.asarray(max_dim + 1),
+        start=start_dim, end=max_dim, op_lo=op_lo)
     return Vh, Vl, Hh, Hl, jnp.minimum(bj, max_dim)
 
 
