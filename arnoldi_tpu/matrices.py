@@ -139,7 +139,7 @@ def load_matrix_market(path, dtype=None):
 
 
 def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
-                     bandwidth=None, dtype=np.float64):
+                     bandwidth=None, block=None, dtype=np.float64):
     """Large random SCATTERED-sparsity test matrix with a controlled
     spectrum (the SuiteSparse stand-in for the zero-egress benchmark
     environment; the reference's corpus fetcher
@@ -160,19 +160,46 @@ def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
     (``arnoldi_tpu.parallel.halo_spmv``) is built for; None scatters
     columns globally.
 
+    ``block`` (optional, e.g. 8) makes the nonzeros DENSE block x block
+    tiles at random block positions — the multi-dof-per-node structure of
+    FE matrices, and the shape the BSR operator feeds to the MXU
+    (``nnz_per_row`` is then interpreted per-row within
+    ``ceil(nnz_per_row / block)`` blocks).  Uniformly-random SCALAR
+    columns are the pathological worst case for any gather hardware and
+    resemble no physical discretization.
+
     Returns CSR.  Memory: O(n * nnz_per_row).
     """
     rng = np.random.default_rng(seed)
-    rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
-    if bandwidth is None:
-        cols = rng.integers(0, n, size=n * nnz_per_row, dtype=np.int64)
+    if block is not None:
+        b = int(block)
+        assert n % b == 0, "block-structured generator needs block | n"
+        nb = n // b
+        bpb = max(-(-nnz_per_row // b), 1)   # blocks per block-row
+        nnz_per_row = bpb * b
+        brows = np.repeat(np.arange(nb, dtype=np.int64), bpb)
+        if bandwidth is None:
+            bcols = rng.integers(0, nb, size=nb * bpb, dtype=np.int64)
+        else:
+            bwb = max(int(bandwidth) // b, 1)
+            delta = rng.integers(-bwb, bwb + 1, size=nb * bpb,
+                                 dtype=np.int64)
+            bcols = np.clip(brows + delta, 0, nb - 1)
+        rows = (brows[:, None, None] * b
+                + np.arange(b)[None, :, None]).repeat(b, axis=2).reshape(-1)
+        cols = (bcols[:, None, None] * b
+                + np.arange(b)[None, None, :]).repeat(b, axis=1).reshape(-1)
     else:
-        bw = int(bandwidth)
-        delta = rng.integers(-bw, bw + 1, size=n * nnz_per_row,
-                             dtype=np.int64)
-        cols = np.clip(rows + delta, 0, n - 1)
+        rows = np.repeat(np.arange(n, dtype=np.int64), nnz_per_row)
+        if bandwidth is None:
+            cols = rng.integers(0, n, size=n * nnz_per_row, dtype=np.int64)
+        else:
+            bw = int(bandwidth)
+            delta = rng.integers(-bw, bw + 1, size=n * nnz_per_row,
+                                 dtype=np.int64)
+            cols = np.clip(rows + delta, 0, n - 1)
     # scale so each row's off-diagonal absolute sum ~= coupling
-    vals = rng.uniform(-1.0, 1.0, size=n * nnz_per_row)
+    vals = rng.uniform(-1.0, 1.0, size=rows.shape[0])
     vals *= coupling / nnz_per_row * 2.0
     d = np.linspace(0.0, 1.0, n)
     k_out = min(10, n)

@@ -261,7 +261,8 @@ def main_scattered(n=1 << 20):
     bw_env = os.environ.get("BENCH_SCATTER_BW", "")
     bandwidth = (None if bw_env == "0"
                  else (int(bw_env) if bw_env else max(n // 64, 8)))
-    A = random_scattered(n, 8, seed=1, bandwidth=bandwidth)
+    block = None if bw_env == "0" else 8
+    A = random_scattered(n, 24, seed=1, bandwidth=bandwidth, block=block)
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
