@@ -107,6 +107,7 @@ def partial_schur(
     resume=False,
     block_size=1,
     refine="auto",
+    refine_op_lo=None,
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -145,6 +146,9 @@ def partial_schur(
         to b vectors per step (matmat) with two block-gemm projections +
         CholQR2 intra-block orthogonalization. Finds eigenvalues of
         multiplicity up to b and amortizes basis passes across b matvecs.
+    refine_op_lo : optional prebuilt cast-residual operator
+        (``solvers.refine.build_cast_residual_operator``) so repeated
+        solves skip the O(nnz) host construction + device upload.
     refine : "auto" (default), "dw", or None/"none".  Double-word
         refinement for tolerances beyond the float32 floor on an f64-free
         device (the TPU): the f32 solve runs to a coarse tolerance, then
@@ -523,7 +527,11 @@ def partial_schur(
 
         op32 = cast_operator_f32(op)
         v0r = refinement_start_vector(np.asarray(V), max(nev_ret, 1))
-        op_lo = build_cast_residual_operator(A, op32)
+        # Building/uploading the cast-residual operator is O(nnz) host work
+        # + a device transfer; callers solving repeatedly (or benchmarking)
+        # should prebuild it once and pass refine_op_lo.
+        op_lo = (refine_op_lo if refine_op_lo is not None
+                 else build_cast_residual_operator(A, op32))
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
             op32, v0r, nev, max_dim=max_dim, p=min(p, max_dim - 1),
             tol=tol_target, sort_function=sort_function,

@@ -323,10 +323,16 @@ def build_cast_residual_operator(A, op):
                          EllOperator, as_operator)
 
     if sp.issparse(A) and A.dtype == np.float64:
-        A32 = A.astype(np.float32)
-        Alo = (A - A32.astype(np.float64)).astype(np.float32)
-        if Alo.nnz == 0 or abs(Alo).max() == 0:
+        # Same sparsity pattern: subtract on the data array only (a full
+        # sparse subtract re-sorts/merges — measured ~4x slower).
+        A_c = sp.csr_matrix(A)
+        lo = (A_c.data
+              - A_c.data.astype(np.float32).astype(np.float64)
+              ).astype(np.float32)
+        if not lo.any():
             return None
+        Alo = sp.csr_matrix((lo, A_c.indices.copy(), A_c.indptr.copy()),
+                            shape=A_c.shape)
     elif isinstance(A, np.ndarray) and A.dtype == np.float64:
         A32 = A.astype(np.float32)
         Alo = (A - A32.astype(np.float64)).astype(np.float32)
@@ -339,8 +345,8 @@ def build_cast_residual_operator(A, op):
     if isinstance(op, EllOperator):
         return as_operator(sp.csr_matrix(Alo), format="ell")
     if isinstance(op, BsrOperator):
-        return as_operator(sp.csr_matrix(Alo),
-                           format=("bsr", op.blockshape))
+        return as_operator(sp.csr_matrix(Alo) if not sp.issparse(Alo)
+                           else Alo, format=("bsr", op.blockshape))
     if isinstance(op, DenseOperator):
         dense = Alo.todense() if sp.issparse(Alo) else Alo
         return as_operator(np.asarray(dense, np.float32))
