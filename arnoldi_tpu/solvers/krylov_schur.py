@@ -532,8 +532,13 @@ def partial_schur(
         # should prebuild it once and pass refine_op_lo.
         op_lo = (refine_op_lo if refine_op_lo is not None
                  else build_cast_residual_operator(A, op32))
+        # Each dw iteration costs a few f32 ones, and the warm start means
+        # convergence needs few restarts — a compact refinement subspace
+        # (not the full f32-phase max_dim) minimizes total dw work.
+        max_dim_r = min(max_dim, max(2 * nev + 6, 16))
+        p_r = min(nev + 5, max_dim_r - 1)
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
-            op32, v0r, nev, max_dim=max_dim, p=min(p, max_dim - 1),
+            op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
             max_restarts=max_restarts, op_lo=op_lo)
         history.total = total_matvecs + mv_extra

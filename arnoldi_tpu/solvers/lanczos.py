@@ -332,8 +332,10 @@ def partial_eigh(
         op32 = cast_operator_f32(op)
         v0r = refinement_start_vector(np.asarray(V_rows), nev)
         op_lo = build_cast_residual_operator(A, op32)
+        max_dim_r = min(max_dim, max(2 * nev + 6, 16))
+        p_r = min(nev + 5, max_dim_r - 1)
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
-            op32, v0r, nev, max_dim=max_dim, p=min(p, max_dim - 1),
+            op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
             max_restarts=max_restarts, op_lo=op_lo)
         hist.total = hist.total_matvecs + mv_extra
