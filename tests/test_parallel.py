@@ -127,6 +127,27 @@ def test_multihost_helpers(mesh):
     lo, hi = process_local_rows(1000, m)
     assert (lo, hi) == (0, 1000)  # single process owns everything
 
+    # Shard-boundary agreement with the solver's padding rule (round-1
+    # advisor finding): per-device ranges must come from the PADDED size.
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+            self.id = pid
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    # n=1000, 8 devices, BSR granularity 8: n_solve = 1024, per_dev = 128.
+    fake = Mesh(np.array([FakeDev(i) for i in range(8)]), ("rows",))
+    import unittest.mock as mock
+
+    with mock.patch.object(jax, "process_index", lambda: 3):
+        lo, hi = process_local_rows(1000, fake, row_granularity=8)
+    assert (lo, hi) == (3 * 128, 4 * 128)
+    with mock.patch.object(jax, "process_index", lambda: 7):
+        lo, hi = process_local_rows(1000, fake, row_granularity=8)
+    assert (lo, hi) == (7 * 128, 1000)  # clamped to n
+
 
 def test_scaling_bench_scattered_halo(mesh):
     # BSR-8 halo path through the scaling mechanism (the round-1 VERDICT
