@@ -296,3 +296,62 @@ def _triangular_eigvecs_np(T):
             S[:k, k] = solve_triangular(M, -T[:k, k])
         S[:, k] /= np.linalg.norm(S[:, k])
     return S
+
+
+def resolve_straddle(T, Z, cut):
+    """Make ``cut`` a clean block boundary of the real quasi-triangular
+    ``T`` by swapping the straddling 2x2 block one slot across the cut
+    (instead of moving the cut — the cut position is a STATIC shape in the
+    jitted device code, and letting it drift forces a fresh XLA
+    compilation per convergence path).
+
+    Returns ``(T, Z)`` (unchanged when the cut is already clean).  The
+    swapped neighbour is an unconverged buffer position, so the wanted
+    leading eigenvalues are untouched.
+    """
+    T = np.asarray(T)
+    n = T.shape[0]
+    if cut <= 0 or cut >= n or T[cut, cut - 1] == 0:
+        return T, Z
+    starts, sizes = real_schur_blocks(T)
+    # the straddling pair starts at cut-1
+    idx = starts.index(cut - 1)
+    # A clean boundary at `cut` needs the leading block sizes to sum to
+    # exactly `cut`.  Swapping the pair with a 2x2 neighbour just moves the
+    # straddle, so instead relocate the NEAREST 1x1 block across the cut:
+    # a 1x1 from after the pair moved to the pair's slot adds 1 to the
+    # leading prefix (boundary lands at the pair's new start = cut); a 1x1
+    # from before moved past the pair subtracts 1 (pair starts at cut-2).
+    after = [j for j in range(idx + 1, len(sizes)) if sizes[j] == 1]
+    before = [j for j in range(idx) if sizes[j] == 1]
+    order = list(range(len(starts)))
+    if after:
+        j = after[0]
+        order.insert(idx, order.pop(j))      # 1x1 moves to the pair's slot
+    elif before:
+        j = before[-1]
+        order.insert(idx, order.pop(j))      # 1x1 moves just after the pair
+    else:
+        raise RuntimeError(
+            "all-2x2 spectrum: no clean cut at this parity exists")
+
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.reorder_blocks_real(T, Z,
+                                           np.asarray(order, np.int32))
+        except RuntimeError:
+            pass
+    from scipy.linalg.lapack import dtrexc, strexc
+
+    trexc = strexc if T.dtype == np.float32 else dtrexc
+    if after:
+        # move the 1x1 up to the pair's start (others shift down)
+        ifst, ilst = starts[after[0]], starts[idx]
+    else:
+        # move the 1x1 down past the pair (others shift up)
+        ifst, ilst = starts[before[-1]], starts[idx] + sizes[idx] - 1
+    T, Z, info = trexc(T, Z, ifst + 1, ilst + 1)
+    if info != 0:
+        raise RuntimeError(f"trexc failed with info={info}")
+    return T, Z

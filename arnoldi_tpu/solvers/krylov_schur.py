@@ -367,11 +367,30 @@ def partial_schur(
         # splitting a conjugate-pair block (and staying block-aligned for
         # the block driver).
         pa = min(p, m) if happy_breakdown else p
-        step = b if b > 1 else 1
-        # Moving by one block can land on ANOTHER 2x2 pair boundary, so
-        # keep stepping (upward first, then downward) until the cut is
-        # clean; give up only when no block-aligned clean cut exists.
-        if in_block[pa]:
+        resolved = False
+        if b == 1 and is_real and in_block[pa]:
+            # Keep pa FIXED by relocating a 1x1 block across the cut (one
+            # tiny host block move).  Letting pa drift changes the STATIC
+            # shapes of the fused truncate+expand dispatch and forces a
+            # fresh XLA compilation per convergence path — measured ~1 min
+            # per recompile through the remote tunnel.
+            try:
+                T2, Q = dense_tier.resolve_straddle(T2, Q, pa)
+                resolved = True
+            except RuntimeError:
+                pass  # all-2x2 parity: fall through to cut stepping
+            if resolved:
+                b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
+                eigs_pos = dense_tier.real_schur_eigvals(T2)
+                in_block = np.zeros(m + 1, dtype=bool)
+                for s_, sz_ in zip(b_starts, b_sizes):
+                    if sz_ == 2:
+                        in_block[s_ + 1] = True
+        if in_block[pa] and not resolved:
+            step = b if b > 1 else 1
+            # Block driver: moving by one block can land on ANOTHER 2x2
+            # pair boundary, so keep stepping (upward first, then downward)
+            # until the cut is clean.
             cand = pa
             limit = m if happy_breakdown else m - 1
             while cand + step <= limit and in_block[cand + step]:

@@ -238,10 +238,22 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
 
         pa = min(p, m) if happy_breakdown else p
         if in_block[pa]:
-            if pa + 1 <= (m if happy_breakdown else m - 1):
-                pa += 1
-            else:
-                pa -= 1
+            # Relocate a 1x1 block across the cut instead of moving pa
+            # (pa is a STATIC shape downstream; drift = fresh compiles).
+            try:
+                T2, Q = dense_tier.resolve_straddle(T2, Q, pa)
+                b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
+                eigs_pos = dense_tier.real_schur_eigvals(T2)
+                in_block = np.zeros(m + 1, dtype=bool)
+                for s_, sz_ in zip(b_starts, b_sizes):
+                    if sz_ == 2:
+                        in_block[s_ + 1] = True
+            except RuntimeError:
+                # all-2x2 parity: accept the drifted cut
+                if pa + 1 <= (m if happy_breakdown else m - 1):
+                    pa += 1
+                else:
+                    pa -= 1
         Qp = Q[:, :pa]
 
         H_new = np.zeros((max_dim + 1, max_dim))
