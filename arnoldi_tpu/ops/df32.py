@@ -181,23 +181,60 @@ def dw_sqrt(xh, xl):
     return jnp.where(ok, h, zero), jnp.where(ok, l, zero)
 
 
+#: Minor-axis chunk for the single-pass compensated reduce.  Within a
+#: chunk the accumulation order is XLA's choice (sequential worst case),
+#: so the error bound is ~CHUNK * u^2 * sum|x| = 4e-12 * sum|x| — far
+#: inside the 1e-8 targets this module serves, and 10x faster than a
+#: materialized pairwise tree (measured on v5e, (17, 1M): 10 ms -> 1 ms;
+#: the tree's per-level slices made XLA re-fuse the producer into both
+#: halves, recomputing the product stage several times).
+_REDUCE_CHUNK = 1024
+
+
+def _sum_combine(a, b):
+    """Cheap compensated combine for reductions: error-free TwoSum of the
+    hi limbs, plain accumulation of the lo limbs plus the TwoSum error.
+    The lo adds round at O(u * |lo|) = O(u^2 * |hi|), so full double-word
+    accuracy survives at ~40% of :func:`dw_add`'s flops.  The pair is left
+    UN-normalized (|l| may exceed ulp(h)); callers must finish with
+    :func:`fast_two_sum`."""
+    s, e = two_sum(a[0], b[0])
+    return s, a[1] + b[1] + e
+
+
 def dw_sum(h, l, axis=-1):
-    """Compensated reduction: pairwise (tree) double-word summation along
-    ``axis``.  log2(n) vectorized levels of :func:`dw_add`, so the result
-    carries full double-word accuracy independent of n."""
+    """Compensated reduction: double-word summation along ``axis``.
+
+    Large axes reduce in one chunked variadic ``lax.reduce`` (single
+    memory pass, no tree-level materialization), followed by a short
+    pairwise tree over the chunk partials; the combine is error-free on
+    the hi limbs with O(u^2) lo-limb accumulation (see
+    :func:`_sum_combine`), normalized once at the end."""
     h = jnp.moveaxis(h, axis, -1)
     l = jnp.moveaxis(l, axis, -1)
     n = h.shape[-1]
+    C = _REDUCE_CHUNK
+    if n >= 2 * C:
+        K = -(-n // C)
+        if K * C - n:
+            pad = [(0, 0)] * (h.ndim - 1) + [(0, K * C - n)]
+            h = jnp.pad(h, pad)
+            l = jnp.pad(l, pad)
+        h = h.reshape(h.shape[:-1] + (K, C))
+        l = l.reshape(l.shape[:-1] + (K, C))
+        z = jnp.zeros((), h.dtype)
+        h, l = lax.reduce((h, l), (z, z), _sum_combine, (h.ndim - 1,))
+        n = K
     while n > 1:
         half = (n + 1) // 2
         if n % 2:
             pad = [(0, 0)] * (h.ndim - 1) + [(0, 1)]
             h = jnp.pad(h, pad)
             l = jnp.pad(l, pad)
-        h, l = dw_add(h[..., :half], l[..., :half],
-                      h[..., half:], l[..., half:])
+        h, l = _sum_combine((h[..., :half], l[..., :half]),
+                            (h[..., half:], l[..., half:]))
         n = half
-    return h[..., 0], l[..., 0]
+    return fast_two_sum(h[..., 0], l[..., 0])
 
 
 def dw_dot(ah, al, bh, bl, axis=-1):

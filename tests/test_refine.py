@@ -70,6 +70,53 @@ class TestDwCgs2:
         np.testing.assert_allclose(V.T @ h + w2, w, atol=1e-12)
 
 
+    def test_orthogonality_u2_chunked_reduce(self, rng):
+        # n large enough to engage dw_sum's chunked lax.reduce path
+        # (>= 2 * _REDUCE_CHUNK), including the non-divisible padding.
+        m, n = 9, 5003
+        V = np.linalg.qr(rng.standard_normal((n, m)))[0].T
+        Vh, Vl = dw_from_f64(V)
+        pad = jnp.zeros((2, n), jnp.float32)
+        Vh = jnp.concatenate([Vh, pad]); Vl = jnp.concatenate([Vl, pad])
+        w = rng.standard_normal(n)
+        wh, wl = dw_from_f64(w)
+        (hh, hl), (wh2, wl2), (bh, bl), brk = jax.jit(
+            lambda *a: dw_cgs2(*a))(Vh, Vl, wh, wl, m)
+        w2 = dw_to_f64(wh2, wl2)
+        assert np.abs(V @ w2).max() < 1e-11 * np.linalg.norm(w2)
+        h = dw_to_f64(hh, hl)[:m]
+        np.testing.assert_allclose(V.T @ h + w2, w, atol=1e-11)
+
+
+class TestDwMatvecFusion:
+    def test_fused_matches_separate(self, rng):
+        # The cast-residual fusion (shared gathers) must agree with the
+        # fallback separate-matvec path to double-word accuracy.
+        from arnoldi_tpu.ops.df32 import dw_add_fl
+
+        A = (mark(20) * np.pi).tocsr()  # entries needing the lo operator
+        for fmt in ("banded", "ell", ("bsr", (8, 8))):
+            op = as_operator(A.astype(np.float32), format=fmt)
+            op_lo = build_cast_residual_operator(A.astype(np.float64), op)
+            assert op_lo is not None
+            x = rng.standard_normal(A.shape[0])
+            xh, xl = dw_from_f64(x)
+            yh, yl = jax.jit(
+                lambda *a: dw_matvec(op, a[0], a[1], op_lo=op_lo))(xh, xl)
+            # fallback: plain matvec of the lo part added afterwards
+            yh2, yl2 = jax.jit(
+                lambda *a: dw_add_fl(
+                    *dw_matvec(op, a[0], a[1]),
+                    op_lo.matvec(a[0]).astype(jnp.float32)))(xh, xl)
+            got = dw_to_f64(yh, yl)
+            want = dw_to_f64(yh2, yl2)
+            np.testing.assert_allclose(got, want, atol=2e-13 * np.abs(
+                A @ x).max(), err_msg=str(fmt))
+            # and both match the true f64 product
+            np.testing.assert_allclose(got, A @ x, atol=1e-12 * np.abs(
+                A @ x).max(), err_msg=str(fmt))
+
+
 class TestRefinedSolvers:
     def test_partial_schur_f32_reaches_1e8(self):
         A = mark(30)
