@@ -271,7 +271,14 @@ def partial_schur(
         _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
         V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
 
+    from ..utils.profiling import phase_clock
+
     history = History.from_k(nev)
+    # Phase stopwatch (no-op unless ARNOLDI_PHASES is set): host-visible
+    # wall time per solver phase, reported on ``history.phases``.  Through
+    # a remote-tunnel device this is the tool that separates device compute
+    # from transfer/latency overhead.
+    clock = phase_clock()
     has_converged = False
     total_matvecs = 0
 
@@ -312,18 +319,20 @@ def partial_schur(
     else:
         start_dim0 = 0
 
-    if b > 1:
-        from .decomposition import _block_expand_jit
+    with clock("f32.initial_expand"):
+        if b > 1:
+            from .decomposition import _block_expand_jit
 
-        V, H, jb = _block_expand_jit(op, V, H, tol,
-                                     start_block=start_dim0 // b,
-                                     n_blocks=max_dim // b, b=b)
-        m = int(jb) * b
-    else:
-        V, H, n_iter = arnoldi_expand(
-            op, V, H, tol, start_dim=start_dim0, max_dim=max_dim, ortho=ortho
-        )
-        m = int(n_iter)
+            V, H, jb = _block_expand_jit(op, V, H, tol,
+                                         start_block=start_dim0 // b,
+                                         n_blocks=max_dim // b, b=b)
+            m = int(jb) * b
+        else:
+            V, H, n_iter = arnoldi_expand(
+                op, V, H, tol, start_dim=start_dim0, max_dim=max_dim,
+                ortho=ortho
+            )
+            m = int(n_iter)
     total_matvecs += m - start_dim0
 
     nev_ret = nev
@@ -335,7 +344,8 @@ def partial_schur(
                 "start vector lives in a too-small invariant subspace"
             )
 
-        H_host = np.asarray(H).astype(hp)
+        with clock("f32.h_pull"):
+            H_host = np.asarray(H).astype(hp)
         if H_trunc_hp is not None:
             H_host[: prev_pa + b, :prev_pa] = H_trunc_hp
         H_active = H_host[:m, :m]
@@ -475,8 +485,9 @@ def partial_schur(
             # A 2x2 block straddling the nev boundary cannot be cut: return
             # nev+1 pairs (ARPACK's k/k+1 contract for real problems).
             nev_ret = nev + 1 if in_block[nev] else nev
-            V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m,
-                                carry=b)
+            with clock("f32.final_truncate"):
+                V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa,
+                                    m=m, carry=b)
             break
 
         H = jnp.asarray(H_new.astype(wdtype))
@@ -524,11 +535,13 @@ def partial_schur(
             from ..ops.ortho import resolve_ortho as _r  # noqa: F401
             # jnp.finfo of a complex dtype yields the matching real dtype
             # (float64 for complex128), preserving the x64 breakdown tol.
-            V, H, n_iter = _truncate_and_expand(
-                op, V, jnp.asarray(Qp, dtype=wdtype), H,
-                jnp.asarray(tol, jnp.finfo(wdtype).dtype),
-                p=pa, m=m, max_dim=max_dim, ortho=ortho,
-            )
+            with clock("f32.restart_dispatch"):
+                V, H, n_iter = _truncate_and_expand(
+                    op, V, jnp.asarray(Qp, dtype=wdtype), H,
+                    jnp.asarray(tol, jnp.finfo(wdtype).dtype),
+                    p=pa, m=m, max_dim=max_dim, ortho=ortho,
+                )
+                n_iter = int(n_iter)
         m_new = int(n_iter)
         total_matvecs += m_new - pa
         m = m_new
@@ -545,7 +558,11 @@ def partial_schur(
                              refine_schur_dw, refinement_start_vector)
 
         op32 = cast_operator_f32(op)
-        v0r = refinement_start_vector(np.asarray(V), max(nev_ret, 1))
+        # Pass the DEVICE workspace: the mix happens on device and only the
+        # (n,) start vector ever exists (the old np.asarray(V) pulled the
+        # whole (max_dim+1, n) workspace through the tunnel, ~1.1 s at n=1M).
+        with clock("refine.start_vector"):
+            v0r = refinement_start_vector(V, max(nev_ret, 1))
         # Building/uploading the cast-residual operator is O(nnz) host work
         # + a device transfer; callers solving repeatedly (or benchmarking)
         # should prebuild it once and pass refine_op_lo.
@@ -559,13 +576,15 @@ def partial_schur(
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
             op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
-            max_restarts=max_restarts, op_lo=op_lo)
+            max_restarts=max_restarts, op_lo=op_lo, clock=clock)
         history.total = total_matvecs + mv_extra
         history.matvecs[:] = history.total
         history.restarts[:] = history.restarts + r_extra
         history.residual_trace.append(float(tol_target))
+        history.phases = clock.report()
         return Qr, Tr, history
 
+    history.phases = clock.report()
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
     schur_mat = jnp.asarray(H_new[:nev_ret, :nev_ret].astype(wdtype))
 

@@ -206,7 +206,7 @@ _dw_truncate = jax.jit(_dw_truncate_impl, static_argnames=("p", "m"))
 
 def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
                     max_restarts=100, invariant_tol=DW_INVARIANT_TOL,
-                    op_lo=None):
+                    op_lo=None, clock=None):
     """Krylov-Schur in double-word f32 arithmetic (real path).
 
     Runs the standard restart loop — dw expansion on device, ordered real
@@ -221,30 +221,44 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
     ``T (nev_ret, nev_ret)`` float64 HOST arrays (nev_ret = nev + 1 when a
     conjugate-pair block straddles the boundary, as in ``partial_schur``).
     """
+    from ..utils.profiling import NULL_CLOCK
+
+    clock = clock if clock is not None else NULL_CLOCK
     n = op.shape[0]
     max_dim = int(max_dim)
     p = int(p)
     assert nev <= p < max_dim <= n
 
-    Vh = jnp.zeros((max_dim + 1, n), _f32)
-    Vl = jnp.zeros((max_dim + 1, n), _f32)
-    Hh = jnp.zeros((max_dim + 1, max_dim), _f32)
-    Hl = jnp.zeros((max_dim + 1, max_dim), _f32)
+    with clock("dw.setup"):
+        Vh = jnp.zeros((max_dim + 1, n), _f32)
+        Vl = jnp.zeros((max_dim + 1, n), _f32)
+        Hh = jnp.zeros((max_dim + 1, max_dim), _f32)
+        Hl = jnp.zeros((max_dim + 1, max_dim), _f32)
 
-    from ..ops.df32 import dw_from_f64
+        from ..ops.df32 import dw_from_f64
 
-    v0 = np.asarray(v0, np.float64)
-    v0 = v0 / np.linalg.norm(v0)
-    v0h, v0l = dw_from_f64(v0)
-    Vh = Vh.at[0, :].set(v0h)
-    Vl = Vl.at[0, :].set(v0l)
+        if isinstance(v0, jax.Array) and v0.dtype == _f32:
+            # Device start vector (the warm-start path): normalize on
+            # device, zero low limb — no host round trip.  An f32-accurate
+            # direction is all a start vector is.
+            v0 = v0 / jnp.linalg.norm(v0)
+            Vh = Vh.at[0, :].set(v0)
+        else:
+            v0 = np.asarray(v0, np.float64)
+            v0 = v0 / np.linalg.norm(v0)
+            v0h, v0l = dw_from_f64(v0)
+            Vh = Vh.at[0, :].set(v0h)
+            Vl = Vl.at[0, :].set(v0l)
 
     tolj = jnp.asarray(invariant_tol, _f32)
-    Vh, Vl, Hh, Hl, n_iter = _dw_expand_jit(
-        op, Vh, Vl, Hh, Hl, tolj, start_dim=0, max_dim=max_dim, op_lo=op_lo)
-    m = int(n_iter)
+    with clock("dw.initial_expand"):
+        Vh, Vl, Hh, Hl, n_iter = _dw_expand_jit(
+            op, Vh, Vl, Hh, Hl, tolj, start_dim=0, max_dim=max_dim,
+            op_lo=op_lo)
+        m = int(n_iter)
     total_matvecs = m
-    H_pair = (np.asarray(Hh, np.float64), np.asarray(Hl, np.float64))
+    with clock("dw.h_pull"):
+        H_pair = (np.asarray(Hh, np.float64), np.asarray(Hl, np.float64))
 
     H_trunc = None
     prev_pa = 0
@@ -257,18 +271,19 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
                 "refinement")
 
         # Exact f64 reconstruction of the projected matrix.
-        H_host = H_pair[0] + H_pair[1]
-        if H_trunc is not None:
-            H_host[: prev_pa + 1, :prev_pa] = H_trunc
-        H_active = H_host[:m, :m]
+        with clock("dw.host_schur"):
+            H_host = H_pair[0] + H_pair[1]
+            if H_trunc is not None:
+                H_host[: prev_pa + 1, :prev_pa] = H_trunc
+            H_active = H_host[:m, :m]
 
-        T2, Q, eigs_pos = dense_tier.ordered_schur_real(
-            H_active, sort_function=sort_function)
-        b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
-        in_block = np.zeros(m + 1, dtype=bool)
-        for s, sz in zip(b_starts, b_sizes):
-            if sz == 2:
-                in_block[s + 1] = True
+            T2, Q, eigs_pos = dense_tier.ordered_schur_real(
+                H_active, sort_function=sort_function)
+            b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
+            in_block = np.zeros(m + 1, dtype=bool)
+            for s, sz in zip(b_starts, b_sizes):
+                if sz == 2:
+                    in_block[s + 1] = True
 
         pa = min(p, m) if happy_breakdown else p
         if in_block[pa]:
@@ -313,20 +328,27 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
                 "convergence")
         Qh, Ql_ = dw_from_f64(Qp)
         if converged:
-            Vh, Vl = _dw_truncate(Vh, Vl, Qh, Ql_, p=pa, m=m)
+            with clock("dw.final_truncate"):
+                Vh, Vl = _dw_truncate(Vh, Vl, Qh, Ql_, p=pa, m=m)
             nev_ret = nev + 1 if in_block[nev] else nev
-            Qout = (np.asarray(Vh[:nev_ret], np.float64)
-                    + np.asarray(Vl[:nev_ret], np.float64)).T
+            with clock("dw.q_out_pull"):
+                # ONE batched device_get (both limb slices in flight
+                # together) instead of two sequential blocking pulls.
+                Qh_out, Ql_out = jax.device_get(
+                    (Vh[:nev_ret], Vl[:nev_ret]))
+            Qout = (Qh_out.astype(np.float64)
+                    + Ql_out.astype(np.float64)).T
             T = H_new[:nev_ret, :nev_ret]
             return Qout, T, restart + 1, total_matvecs
 
         # Fused truncate+re-expand: one dispatch per restart, and one
         # batched device_get for the (tiny) projected matrix + count.
         Hh2, Hl2 = dw_from_f64(H_new[:, :max_dim])
-        Vh, Vl, Hs, bj = _dw_truncate_and_expand(
-            op, Vh, Vl, Qh, Ql_, Hh2, Hl2, tolj, p=pa, m=m, max_dim=max_dim,
-            op_lo=op_lo)
-        Hs_host, m_new = jax.device_get((Hs, bj))
+        with clock("dw.restart_dispatch"):
+            Vh, Vl, Hs, bj = _dw_truncate_and_expand(
+                op, Vh, Vl, Qh, Ql_, Hh2, Hl2, tolj, p=pa, m=m,
+                max_dim=max_dim, op_lo=op_lo)
+            Hs_host, m_new = jax.device_get((Hs, bj))
         H_pair = (Hs_host[0].astype(np.float64), Hs_host[1].astype(np.float64))
         m_new = int(m_new)
         total_matvecs += m_new - pa
@@ -406,7 +428,23 @@ def build_cast_residual_operator(A, op):
 def refinement_start_vector(Vt, nev_ret):
     """Deterministic start vector for the dw phase: a fixed-weight mix of
     the converged f32 Schur basis rows (weights 1/(i+1) prevent accidental
-    cancellation between symmetric components)."""
+    cancellation between symmetric components).
+
+    Accepts the DEVICE workspace directly and stays on device (returns a
+    jax f32 vector): pulling the full (max_dim+1, n) workspace to the host
+    just to mix a handful of rows cost ~1.1 s at n=1M through the tunnel.
+    The start vector's own rounding is irrelevant — any f32-accurate
+    vector in the converged subspace seeds the warm start equally well.
+    """
+    if isinstance(Vt, jax.Array):
+        rows = Vt[:nev_ret]
+        w = jnp.asarray(1.0 / (1.0 + np.arange(rows.shape[0])), rows.dtype)
+        v0 = (w[:, None] * rows).sum(axis=0)
+        nrm = jnp.linalg.norm(v0)
+        fallback = rows[0] / jnp.maximum(jnp.linalg.norm(rows[0]),
+                                         jnp.finfo(rows.dtype).tiny)
+        return jnp.where(nrm > 0, v0 / jnp.where(nrm > 0, nrm, 1.0),
+                         fallback)
     rows = np.asarray(Vt[:nev_ret], np.float64)
     w = 1.0 / (1.0 + np.arange(rows.shape[0]))
     v0 = (w[:, None] * rows).sum(axis=0)

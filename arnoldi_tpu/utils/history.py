@@ -22,6 +22,10 @@ class History:
     #: are cumulative snapshots (Krylov-Schur) rather than disjoint budgets
     #: (deflated explicit restarts); when unset, the disjoint sum is used.
     total: int | None = None
+    #: host wall-clock per solver phase ({phase: {seconds, calls}}), filled
+    #: when the ``ARNOLDI_PHASES`` environment variable is set (see
+    #: ``utils.profiling.phase_clock``); empty otherwise.
+    phases: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_k(cls, k):

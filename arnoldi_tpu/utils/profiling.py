@@ -62,3 +62,27 @@ class WallClock:
             phase: {"seconds": round(t, 6), "calls": self.counts[phase]}
             for phase, t in sorted(self.totals.items())
         }
+
+
+class _NullClock:
+    """No-op stand-in so hot paths can call ``with clock(...)``
+    unconditionally."""
+
+    @contextlib.contextmanager
+    def __call__(self, phase):
+        yield
+
+    def report(self):
+        return {}
+
+
+NULL_CLOCK = _NullClock()
+
+
+def phase_clock():
+    """Solver phase stopwatch: a :class:`WallClock` when the
+    ``ARNOLDI_PHASES`` environment variable is set (the report lands on
+    ``History.phases``), else the shared no-op."""
+    import os
+
+    return WallClock() if os.environ.get("ARNOLDI_PHASES") else NULL_CLOCK
