@@ -199,3 +199,64 @@ class TestRefineBsr:
         A32 = A.astype(np.float32).astype(np.float64)
         res = np.linalg.norm(A32 @ Q - Q @ T, axis=0)
         assert res.max() < 1e-8, res.max()
+
+
+class TestHostTrafficPaths:
+    """The tunnel-bandwidth levers: device-side start vector, bf16 low-limb
+    output, and the ARNOLDI_PHASES stopwatch that found them."""
+
+    def test_start_vector_device_matches_host(self):
+        from arnoldi_tpu.solvers.refine import refinement_start_vector
+
+        rng = np.random.default_rng(3)
+        Vt = rng.standard_normal((8, 40)).astype(np.float32)
+        host = refinement_start_vector(Vt, 5)
+        dev = refinement_start_vector(jnp.asarray(Vt), 5)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_allclose(np.asarray(dev, np.float64), host,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(dev)), 1.0,
+                                   atol=1e-6)
+
+    def test_refine_accepts_device_f32_start(self):
+        A = mark(25)
+        op = as_operator(A.astype(np.float32))
+        op_lo = build_cast_residual_operator(A.astype(np.float64), op)
+        v0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+            A.shape[0]), jnp.float32)
+        Q, T, nr, nmv = refine_schur_dw(
+            op, v0, 3, max_dim=16, p=8, tol=1e-9,
+            sort_function=arg_largest_real, max_restarts=300, op_lo=op_lo)
+        res = np.linalg.norm(A.todense() @ Q - Q @ T, axis=0)
+        assert res.max() < 1e-8
+
+    def test_tight_tol_keeps_f32_low_limb(self):
+        # tol < 1e-9 must NOT take the bf16 output shortcut: the returned
+        # Q carries the full double-word accuracy.
+        A = mark(20)
+        op = as_operator(A.astype(np.float32))
+        op_lo = build_cast_residual_operator(A.astype(np.float64), op)
+        v0 = np.random.default_rng(1).standard_normal(A.shape[0])
+        Q, T, nr, nmv = refine_schur_dw(
+            op, v0, 3, max_dim=16, p=8, tol=1e-12,
+            sort_function=arg_largest_real, max_restarts=500, op_lo=op_lo)
+        res = np.linalg.norm(A.todense() @ Q - Q @ T, axis=0)
+        assert res.max() < 1e-11, res.max()
+
+    def test_phase_clock_on_history(self, monkeypatch):
+        monkeypatch.setenv("ARNOLDI_PHASES", "1")
+        A = mark(20)
+        Q, T, hist = partial_schur(
+            A, 3, max_dim=12, stopping_criterion=1e-8,
+            sort_function=arg_largest_real, max_restarts=2000,
+            dtype=np.float32, ortho="cgs2", key=jax.random.key(0))
+        assert "f32.initial_expand" in hist.phases
+        assert any(k.startswith("dw.") for k in hist.phases)
+        assert all(v["seconds"] >= 0 and v["calls"] >= 1
+                   for v in hist.phases.values())
+        monkeypatch.delenv("ARNOLDI_PHASES")
+        _, _, h2 = partial_schur(
+            A, 3, max_dim=12, stopping_criterion=1e-8,
+            sort_function=arg_largest_real, max_restarts=2000,
+            dtype=np.float32, ortho="cgs2", key=jax.random.key(0))
+        assert h2.phases == {}
