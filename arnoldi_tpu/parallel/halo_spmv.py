@@ -11,9 +11,18 @@ Correctness at the global edges: :class:`arnoldi_tpu.linop.BandedOperator`
 stores zero band entries wherever ``i + offset`` falls outside the matrix,
 so the wrapped-around ring halo values are always multiplied by zero there.
 
-The next level (halo exchange via Pallas ``make_async_remote_copy``
-overlapped with the local stencil compute) slots in behind the same
-interface.
+Compute/communication overlap (``overlap=True``, the default): the naive
+structure feeds the ``ppermute`` results straight into a ``concatenate``
+that every downstream op consumes, so the compiled schedule cannot start
+any FLOPs until the collective lands.  The overlapped variants instead run
+the FULL local matvec against a zero-padded window — no data dependency on
+the collective, so XLA schedules it between ``collective-permute-start``
+and ``-done`` — and then recompute only the ``halo`` boundary rows with
+the true neighbour window once it arrives.  Extra work: 2*halo of n_local
+rows; hidden work: the entire interior.  (A Pallas
+``make_async_remote_copy`` version could additionally overlap the
+boundary fix-up, but start/done hoisting already covers the dominant
+term.)
 """
 
 from functools import partial
@@ -27,13 +36,15 @@ from jax.sharding import PartitionSpec as P
 from ..linop import BandedOperator
 
 
-def banded_matvec_halo(op: BandedOperator, x, mesh, axis_name="rows"):
+def banded_matvec_halo(op: BandedOperator, x, mesh, axis_name="rows",
+                       overlap=True):
     """Distributed banded matvec ``y = A @ x`` with ring halo exchange.
 
     ``op.bands`` must be sharded ``P(None, axis_name)`` and ``x``
     ``P(axis_name)`` (as produced by ``arnoldi_tpu.parallel.shard_operator``);
     the row count must divide the mesh size.  Returns ``y`` sharded like
-    ``x``.
+    ``x``.  ``overlap=True`` computes the interior against a zero-padded
+    window while the halo ``ppermute`` is in flight (see module docstring).
     """
     offsets = op.offsets
     halo = int(max((abs(int(o)) for o in offsets), default=0))
@@ -60,12 +71,31 @@ def banded_matvec_halo(op: BandedOperator, x, mesh, axis_name="rows"):
         right_halo = lax.ppermute(x_loc[:halo], axis_name, bwd)
         # our left halo = right edge of the left neighbour (comes forward)
         left_halo = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+        ydt = jnp.result_type(bands_loc.dtype, x_loc.dtype)
+        pad = jnp.zeros(halo, x_loc.dtype)
+
+        def shift_add(x_ext, rows, row0):
+            acc = jnp.zeros(rows, ydt)
+            for k, off in enumerate(offsets):
+                seg = lax.dynamic_slice_in_dim(x_ext, halo + off + row0,
+                                               rows)
+                band = lax.dynamic_slice_in_dim(bands_loc[k], row0, rows)
+                acc = acc + band * seg
+            return acc
+
+        if not overlap:
+            x_ext = jnp.concatenate([left_halo, x_loc, right_halo])
+            return shift_add(x_ext, n_local, 0)
+
+        # Interior pass against the zero-padded window: correct for every
+        # row >= halo from either shard edge, no dependency on the
+        # collectives — XLA runs it between permute-start and -done.
+        x_pad = jnp.concatenate([pad, x_loc, pad])
+        y = shift_add(x_pad, n_local, 0)
+        # Boundary fix-up once the halos land (2*halo rows).
         x_ext = jnp.concatenate([left_halo, x_loc, right_halo])
-        y = jnp.zeros_like(x_loc, dtype=jnp.result_type(bands_loc.dtype,
-                                                        x_loc.dtype))
-        for k, off in enumerate(offsets):
-            seg = lax.dynamic_slice_in_dim(x_ext, halo + off, x_loc.shape[0])
-            y = y + bands_loc[k] * seg
+        y = y.at[:halo].set(shift_add(x_ext, halo, 0))
+        y = y.at[n_local - halo:].set(shift_add(x_ext, halo, n_local - halo))
         return y
 
     return mv(op.bands, x)
@@ -93,7 +123,7 @@ def sparsity_bandwidth(op):
     raise TypeError(type(op).__name__)
 
 
-def ell_matvec_halo(op, x, mesh, axis_name="rows", halo=None):
+def ell_matvec_halo(op, x, mesh, axis_name="rows", halo=None, overlap=True):
     """Distributed ELL matvec with ring halo exchange (general scattered
     sparsity whose reach from the diagonal is bounded by ``halo``).
 
@@ -131,19 +161,40 @@ def ell_matvec_halo(op, x, mesh, axis_name="rows", halo=None):
         bwd = [(i, (i - 1) % d) for i in range(d)]
         right_halo = lax.ppermute(x_loc[:halo], axis_name, bwd)
         left_halo = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+
+        def ext_rows(data_r, cols_r, x_ext):
+            # Global -> local-extended column remap.  Padding slots point
+            # at global column 0; their data is zero, so clamping keeps
+            # them in-range without affecting the result.
+            local = jnp.clip(cols_r - me * n_local + halo,
+                             0, x_ext.shape[0] - 1)
+            return jnp.sum(data_r * jnp.take(x_ext, local, axis=0), axis=1)
+
+        if not overlap:
+            x_ext = jnp.concatenate([left_halo, x_loc, right_halo])
+            return ext_rows(data_loc, cols_loc, x_ext)
+
+        # Interior pass: gather from the LOCAL shard only (out-of-shard
+        # slots masked to zero) — independent of the in-flight permutes.
+        local0 = cols_loc - me * n_local
+        in_shard = (local0 >= 0) & (local0 < n_local)
+        g0 = jnp.take(x_loc, jnp.clip(local0, 0, n_local - 1), axis=0)
+        y = jnp.sum(jnp.where(in_shard, data_loc * g0, 0), axis=1)
+        # Boundary fix-up: only the first/last ``halo`` rows can reference
+        # neighbour entries (bandwidth bound), recompute them extended.
         x_ext = jnp.concatenate([left_halo, x_loc, right_halo])
-        # Global -> local-extended column remap.  Padding slots point at
-        # global column 0; their data is zero, so clamping keeps them
-        # in-range without affecting the result.
-        local = jnp.clip(cols_loc - me * n_local + halo,
-                         0, x_ext.shape[0] - 1)
-        gathered = jnp.take(x_ext, local, axis=0)
-        return jnp.sum(data_loc * gathered, axis=1)
+        y = y.at[:halo].set(
+            ext_rows(data_loc[:halo], cols_loc[:halo], x_ext))
+        y = y.at[n_local - halo:].set(
+            ext_rows(data_loc[n_local - halo:], cols_loc[n_local - halo:],
+                     x_ext))
+        return y
 
     return mv(op.data, op.cols, x)
 
 
-def bsr_matvec_halo(op, x, mesh, axis_name="rows", halo_blocks=None):
+def bsr_matvec_halo(op, x, mesh, axis_name="rows", halo_blocks=None,
+                    overlap=True):
     """Distributed BSR matvec with ring halo exchange, in units of block
     rows/columns (the TPU scattered-sparsity fast path: dense r x c blocks
     on the MXU, halo comms over ICI)."""
@@ -181,12 +232,31 @@ def bsr_matvec_halo(op, x, mesh, axis_name="rows", halo_blocks=None):
         h = halo_blocks
         right_halo = lax.ppermute(xb[:h], axis_name, bwd)
         left_halo = lax.ppermute(xb[-h:], axis_name, fwd)
+
+        def ext_rows(blocks_r, bcols_r, xb_ext):
+            local = jnp.clip(bcols_r - me * nb_local + h,
+                             0, xb_ext.shape[0] - 1)
+            gathered = jnp.take(xb_ext, local, axis=0)  # (rows, L, c)
+            return jnp.einsum("blrc,blc->br", blocks_r, gathered,
+                              precision=_PREC)
+
+        if not overlap:
+            xb_ext = jnp.concatenate([left_halo, xb, right_halo], axis=0)
+            return ext_rows(blocks_loc, bcols_loc, xb_ext).reshape(-1)
+
+        # Interior pass from the local block rows only (out-of-shard block
+        # columns masked) — overlaps the ring permutes.
+        local0 = bcols_loc - me * nb_local
+        in_shard = (local0 >= 0) & (local0 < nb_local)
+        g0 = jnp.take(xb, jnp.clip(local0, 0, nb_local - 1), axis=0)
+        g0 = jnp.where(in_shard[:, :, None], g0, 0)
+        yb = jnp.einsum("blrc,blc->br", blocks_loc, g0, precision=_PREC)
+        # Boundary fix-up (first/last ``h`` block rows) on halo arrival.
         xb_ext = jnp.concatenate([left_halo, xb, right_halo], axis=0)
-        local = jnp.clip(bcols_loc - me * nb_local + h,
-                         0, xb_ext.shape[0] - 1)
-        gathered = jnp.take(xb_ext, local, axis=0)      # (nb_loc, L, c)
-        yb = jnp.einsum("blrc,blc->br", blocks_loc, gathered,
-                        precision=_PREC)
+        yb = yb.at[:h].set(ext_rows(blocks_loc[:h], bcols_loc[:h], xb_ext))
+        yb = yb.at[nb_local - h:].set(
+            ext_rows(blocks_loc[nb_local - h:], bcols_loc[nb_local - h:],
+                     xb_ext))
         return yb.reshape(-1)
 
     return mv(op.blocks, op.block_cols, x)
