@@ -215,15 +215,14 @@ def partial_schur(
                              EllOperator)
 
         do_refine = (
-            is_real_w and np.dtype(wdtype) == np.float32 and mesh is None
+            is_real_w and np.dtype(wdtype) == np.float32
             and tol < 1e-6
             and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
                                 EllOperator)))
     else:
         raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
     if do_refine:
-        assert is_real_w and mesh is None, (
-            "dw refinement requires the real float32 path without a mesh")
+        assert is_real_w, "dw refinement requires the real float32 path"
         tol = max(tol, 2e-4)  # f32-phase tolerance (the f32 residual floor)
 
     # Mesh execution pads the row dimension so every shard is the same size
@@ -565,9 +564,31 @@ def partial_schur(
             v0r = refinement_start_vector(V, max(nev_ret, 1))
         # Building/uploading the cast-residual operator is O(nnz) host work
         # + a device transfer; callers solving repeatedly (or benchmarking)
-        # should prebuild it once and pass refine_op_lo.
-        op_lo = (refine_op_lo if refine_op_lo is not None
-                 else build_cast_residual_operator(A, op32))
+        # should prebuild it once and pass refine_op_lo (pre-padded/sharded
+        # to match when a mesh is in play).
+        if refine_op_lo is not None:
+            op_lo = refine_op_lo
+        else:
+            A_lo_src = A
+            if n_solve != n:
+                # The mesh path padded the operator; pad the exact source
+                # identically so the cast residual shares the layout.
+                import scipy.sparse as sp
+
+                if sp.issparse(A):
+                    A_lo_src = sp.csr_matrix(A).copy()
+                    A_lo_src.resize(n_solve, n_solve)
+                elif isinstance(A, np.ndarray):
+                    A_lo_src = np.zeros((n_solve, n_solve), A.dtype)
+                    A_lo_src[:n, :n] = A
+                else:
+                    A_lo_src = None
+            op_lo = (build_cast_residual_operator(A_lo_src, op32)
+                     if A_lo_src is not None else None)
+            if op_lo is not None and mesh is not None:
+                from ..parallel.sharded import shard_operator
+
+                op_lo = shard_operator(op_lo, mesh)
         # Each dw iteration costs a few f32 ones, and the warm start means
         # convergence needs few restarts — a compact refinement subspace
         # (not the full f32-phase max_dim) minimizes total dw work.
@@ -576,13 +597,13 @@ def partial_schur(
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
             op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
-            max_restarts=max_restarts, op_lo=op_lo, clock=clock)
+            max_restarts=max_restarts, op_lo=op_lo, clock=clock, mesh=mesh)
         history.total = total_matvecs + mv_extra
         history.matvecs[:] = history.total
         history.restarts[:] = history.restarts + r_extra
         history.residual_trace.append(float(tol_target))
         history.phases = clock.report()
-        return Qr, Tr, history
+        return Qr[:n], Tr, history
 
     history.phases = clock.report()
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract

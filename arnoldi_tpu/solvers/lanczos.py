@@ -316,13 +316,13 @@ def partial_eigh(
                              EllOperator)
 
         do_refine = (
-            np.dtype(wdtype) == np.float32 and mesh is None and tol < 1e-6
+            np.dtype(wdtype) == np.float32 and tol < 1e-6
             and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
                                 EllOperator)))
     else:
         raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
     if do_refine:
-        assert mesh is None and np.issubdtype(np.dtype(wdtype), np.floating)
+        assert np.issubdtype(np.dtype(wdtype), np.floating)
         tol = max(tol, 2e-4)
 
     def _refine_result(V_rows, hist):
@@ -330,19 +330,38 @@ def partial_eigh(
                              refine_schur_dw, refinement_start_vector)
 
         op32 = cast_operator_f32(op)
-        v0r = refinement_start_vector(np.asarray(V_rows), nev)
-        op_lo = build_cast_residual_operator(A, op32)
+        # Device-side mix: never pull the basis rows to the host just to
+        # build one start vector (see partial_schur).
+        v0r = refinement_start_vector(V_rows, nev)
+        A_lo_src = A
+        if n_solve != n:
+            import scipy.sparse as sp
+
+            if sp.issparse(A):
+                A_lo_src = sp.csr_matrix(A).copy()
+                A_lo_src.resize(n_solve, n_solve)
+            elif isinstance(A, np.ndarray):
+                A_lo_src = np.zeros((n_solve, n_solve), A.dtype)
+                A_lo_src[:n, :n] = A
+            else:
+                A_lo_src = None
+        op_lo = (build_cast_residual_operator(A_lo_src, op32)
+                 if A_lo_src is not None else None)
+        if op_lo is not None and mesh is not None:
+            from ..parallel.sharded import shard_operator
+
+            op_lo = shard_operator(op_lo, mesh)
         max_dim_r = min(max_dim, max(2 * nev + 6, 16))
         p_r = min(nev + 5, max_dim_r - 1)
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
             op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
-            max_restarts=max_restarts, op_lo=op_lo)
+            max_restarts=max_restarts, op_lo=op_lo, mesh=mesh)
         hist.total = hist.total_matvecs + mv_extra
         hist.matvecs[:] = hist.total
         hist.restarts[:] = hist.restarts + r_extra
         vals = np.diag(Tr)[:nev].copy()
-        return vals, Qr[:, :nev], hist
+        return vals, Qr[:n, :nev], hist
 
     selective = ortho == "selective"
     if selective:

@@ -206,7 +206,7 @@ _dw_truncate = jax.jit(_dw_truncate_impl, static_argnames=("p", "m"))
 
 def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
                     max_restarts=100, invariant_tol=DW_INVARIANT_TOL,
-                    op_lo=None, clock=None):
+                    op_lo=None, clock=None, mesh=None):
     """Krylov-Schur in double-word f32 arithmetic (real path).
 
     Runs the standard restart loop — dw expansion on device, ordered real
@@ -234,6 +234,17 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
         Vl = jnp.zeros((max_dim + 1, n), _f32)
         Hh = jnp.zeros((max_dim + 1, max_dim), _f32)
         Hl = jnp.zeros((max_dim + 1, max_dim), _f32)
+        if mesh is not None:
+            # Same placement as the f32 phase: limb workspaces row-sharded
+            # (axis 1 of the transposed basis), projected matrix
+            # replicated.  The dw kernels are sharding-transparent jnp
+            # code, so GSPMD partitions them (psum'd first-pass
+            # projections; the compensated reductions partition with the
+            # same combiner, so the O(u^2) error bound is preserved).
+            from ..parallel.sharded import shard_workspace
+
+            Vh, Hh = shard_workspace(Vh, Hh, mesh)
+            Vl, Hl = shard_workspace(Vl, Hl, mesh)
 
         from ..ops.df32 import dw_from_f64
 
@@ -247,6 +258,11 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
             v0 = np.asarray(v0, np.float64)
             v0 = v0 / np.linalg.norm(v0)
             v0h, v0l = dw_from_f64(v0)
+            if mesh is not None:
+                from ..parallel.mesh import row_sharding
+
+                v0h = jax.device_put(jnp.asarray(v0h), row_sharding(mesh, 1))
+                v0l = jax.device_put(jnp.asarray(v0l), row_sharding(mesh, 1))
             Vh = Vh.at[0, :].set(v0h)
             Vl = Vl.at[0, :].set(v0l)
 

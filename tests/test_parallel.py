@@ -158,3 +158,40 @@ def test_scaling_bench_scattered_halo(mesh):
                           cycles=1, matrix="scattered")
     assert len(results) == 2
     assert all(r["nnz_per_s"] > 0 for r in results)
+
+
+def test_sharded_refine_reaches_1e8(mesh):
+    # The scale analog at BASELINE accuracy: f32 + dw refinement UNDER A
+    # MESH (sharded limb workspaces, GSPMD-partitioned dw kernels) must
+    # reach 1e-8 residuals against the true f64 matrix, matching the
+    # single-device refined solve.
+    A = mark(30)  # n = 465 -> padded to 472 on 8 devices
+    kwargs = dict(
+        stopping_criterion=1e-8, sort_function=arg_largest_real,
+        max_restarts=2000, dtype=np.float32, ortho="cgs2",
+        key=jax.random.key(3),
+    )
+    Q1, T1, h1 = partial_schur(A, 3, **kwargs)
+    Q2, T2, h2 = sharded_partial_schur(A, 3, mesh=mesh, **kwargs)
+    for Q, T in [(Q1, T1), (Q2, T2)]:
+        assert isinstance(Q, np.ndarray) and Q.dtype == np.float64
+        assert Q.shape[0] == A.shape[0]  # padding sliced off
+        res = norm(A.todense() @ Q - Q @ T, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-8)
+    v1 = np.sort_complex(np.linalg.eigvals(T1))
+    v2 = np.sort_complex(np.linalg.eigvals(T2))
+    np.testing.assert_allclose(v1, v2, rtol=1e-9, atol=1e-11)
+
+
+def test_sharded_refine_banded(mesh):
+    from arnoldi_tpu.solvers.lanczos import partial_eigh
+    from arnoldi_tpu.matrices import laplace, laplace_eigen
+
+    n = 1024
+    A = laplace(n).tocsr()
+    vals, vecs, _ = partial_eigh(
+        A, 3, which="LA", stopping_criterion=1e-8, max_restarts=3000,
+        mesh=mesh, dtype=np.float32, key=jax.random.key(5))
+    want = np.sort(laplace_eigen(n))[::-1][:3]
+    np.testing.assert_allclose(np.sort(np.asarray(vals))[::-1], want,
+                               rtol=1e-7, atol=1e-8)
