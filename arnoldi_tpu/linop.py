@@ -337,10 +337,18 @@ class BsrOperator:
 
 @jax.tree_util.register_pytree_node_class
 class CallableOperator:
-    """Wrap an arbitrary jittable matvec closure as an operator."""
+    """Wrap an arbitrary jittable matvec closure as an operator.
 
-    def __init__(self, fn, shape, dtype, nnz=None):
+    ``fn_dw``, when given, is the double-word companion
+    ``(xh, xl) -> (yh, yl)`` (float32 limb pairs) used by the dw
+    refinement tier (``solvers/refine.py``) — e.g. the halo-exchange dw
+    matvec from :func:`arnoldi_tpu.parallel.halo_matvec_closure`.  Any
+    cast-residual ("lo") correction must be folded inside the closure.
+    """
+
+    def __init__(self, fn, shape, dtype, nnz=None, fn_dw=None):
         self.fn = fn
+        self.fn_dw = fn_dw
         self._shape = tuple(shape)
         self._dtype = jnp.dtype(dtype)
         self._nnz = nnz if nnz is not None else shape[0] * shape[1]
@@ -360,15 +368,24 @@ class CallableOperator:
     def matvec(self, x):
         return self.fn(x)
 
+    def matvec_dw(self, xh, xl):
+        if self.fn_dw is None:
+            raise TypeError(
+                "this CallableOperator has no double-word matvec (fn_dw); "
+                "build it via halo_matvec_closure(..., op_lo=...) or use a "
+                "format operator")
+        return self.fn_dw(xh, xl)
+
     def matmat(self, X):
         return jax.vmap(self.fn, in_axes=1, out_axes=1)(X)
 
     def tree_flatten(self):
-        return (), (self.fn, self._shape, self._dtype, self._nnz)
+        return (), (self.fn, self._shape, self._dtype, self._nnz,
+                    self.fn_dw)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], aux[1], aux[2], aux[3])
+        return cls(aux[0], aux[1], aux[2], aux[3], fn_dw=aux[4])
 
 
 #: Union type for documentation purposes.

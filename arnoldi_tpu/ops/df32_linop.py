@@ -135,8 +135,17 @@ def dw_matvec(op, xh, xl, op_lo=None):
     (the :func:`build_cast_residual_operator` contract) the term rides the
     main kernel's gathers; otherwise it falls back to a separate matvec.
     """
-    from ..linop import (BandedOperator, BsrOperator, DenseOperator,
-                         EllOperator)
+    from ..linop import (BandedOperator, BsrOperator, CallableOperator,
+                         DenseOperator, EllOperator)
+
+    if isinstance(op, CallableOperator):
+        # e.g. the halo-exchange dw closure (parallel/halo_spmv.py); any
+        # cast-residual correction is folded inside the closure, so a
+        # separately-supplied op_lo is not meaningful here.
+        assert op_lo is None, (
+            "CallableOperator dw matvec folds its own op_lo; build the "
+            "closure with halo_matvec_closure(..., op_lo=...)")
+        return op.matvec_dw(xh, xl)
 
     fused = False
     if isinstance(op, BandedOperator):

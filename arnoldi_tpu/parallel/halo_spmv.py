@@ -262,22 +262,224 @@ def bsr_matvec_halo(op, x, mesh, axis_name="rows", halo_blocks=None,
     return mv(op.blocks, op.block_cols, x)
 
 
-def halo_matvec_closure(op, mesh, axis_name="rows"):
+def _dw_halo_exchange(x_loc_pairs, halo, axis_name):
+    """Ring-exchange the halo windows of each (hi, lo) limb array; returns
+    the concatenated extended windows.  ``x_loc_pairs`` is a list of
+    per-limb local arrays (1-D or (rows, c) blocked)."""
+    d = lax.axis_size(axis_name)
+    fwd = [(i, (i + 1) % d) for i in range(d)]
+    bwd = [(i, (i - 1) % d) for i in range(d)]
+    out = []
+    for x_loc in x_loc_pairs:
+        right = lax.ppermute(x_loc[:halo], axis_name, bwd)
+        left = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+        out.append(jnp.concatenate([left, x_loc, right], axis=0))
+    return out
+
+
+def banded_matvec_halo_dw(op, xh, xl, mesh, axis_name="rows", op_lo=None):
+    """Double-word distributed banded matvec: the halo-exchange mirror of
+    :func:`arnoldi_tpu.ops.df32_linop.banded_matvec_dw` — error-free
+    products and compensated accumulation on each shard, ring ``ppermute``
+    halos for BOTH limbs (4 sends), no all-gather.  ``op_lo`` (the
+    ``A - f32(A)`` cast residual, same offsets/sharding) rides the same
+    extended windows."""
+    from ..ops.df32 import fast_two_sum, two_prod, two_sum
+
+    offsets = op.offsets
+    halo = int(max((abs(int(o)) for o in offsets), default=0))
+    n = op.shape[0]
+    n_dev = int(mesh.devices.size)
+    assert n % n_dev == 0, "shard rows first (pad_operator)"
+    n_local = n // n_dev
+    assert halo <= n_local, f"halo {halo} exceeds shard size {n_local}"
+    bands_lo = None
+    if op_lo is not None:
+        assert isinstance(op_lo, BandedOperator) and (
+            op_lo.offsets == op.offsets
+            and op_lo.bands.shape == op.bands.shape), (
+            "op_lo must share the operator's banded layout "
+            "(build_cast_residual_operator guarantees this)")
+        bands_lo = op_lo.bands
+
+    specs = [P(None, axis_name), P(axis_name), P(axis_name)]
+    args = [op.bands, xh, xl]
+    if bands_lo is not None:
+        specs.insert(1, P(None, axis_name))
+        args.insert(1, bands_lo)
+
+    @partial(shard_map, mesh=mesh, in_specs=tuple(specs),
+             out_specs=(P(axis_name), P(axis_name)))
+    def mv(*a):
+        if bands_lo is not None:
+            bands_loc, bands_lo_loc, xh_loc, xl_loc = a
+        else:
+            (bands_loc, xh_loc, xl_loc), bands_lo_loc = a, None
+        xh_ext, xl_ext = _dw_halo_exchange([xh_loc, xl_loc], halo,
+                                           axis_name)
+        yh = jnp.zeros(n_local, jnp.float32)
+        yl = jnp.zeros(n_local, jnp.float32)
+        for k, off in enumerate(offsets):
+            b = bands_loc[k]
+            sh = lax.dynamic_slice_in_dim(xh_ext, halo + off, n_local)
+            sl = lax.dynamic_slice_in_dim(xl_ext, halo + off, n_local)
+            ph, pl = two_prod(b, sh)
+            pl = pl + b * sl
+            if bands_lo_loc is not None:
+                pl = pl + bands_lo_loc[k] * sh
+            s, e = two_sum(yh, ph)
+            yh, yl = s, yl + pl + e
+        return fast_two_sum(yh, yl)
+
+    return mv(*args)
+
+
+def ell_matvec_halo_dw(op, xh, xl, mesh, axis_name="rows", halo=None,
+                       op_lo=None):
+    """Double-word distributed ELL matvec with ring halo exchange (the dw
+    mirror of :func:`ell_matvec_halo`)."""
+    from ..linop import EllOperator
+    from ..ops.df32 import dw_sum, two_prod
+
+    assert isinstance(op, EllOperator)
+    if halo is None:
+        halo = sparsity_bandwidth(op)
+    n = op.shape[0]
+    n_dev = int(mesh.devices.size)
+    assert n % n_dev == 0, "shard rows first (pad_operator)"
+    n_local = n // n_dev
+    assert halo <= n_local, f"halo {halo} exceeds shard size {n_local}"
+    data_lo = None
+    if op_lo is not None:
+        assert isinstance(op_lo, EllOperator) and (
+            op_lo.data.shape == op.data.shape), "op_lo layout mismatch"
+        data_lo = op_lo.data
+
+    specs = [P(axis_name, None), P(axis_name, None), P(axis_name),
+             P(axis_name)]
+    args = [op.data, op.cols, xh, xl]
+    if data_lo is not None:
+        specs.insert(1, P(axis_name, None))
+        args.insert(1, data_lo)
+
+    @partial(shard_map, mesh=mesh, in_specs=tuple(specs),
+             out_specs=(P(axis_name), P(axis_name)))
+    def mv(*a):
+        if data_lo is not None:
+            data_loc, data_lo_loc, cols_loc, xh_loc, xl_loc = a
+        else:
+            (data_loc, cols_loc, xh_loc, xl_loc), data_lo_loc = a, None
+        me = lax.axis_index(axis_name)
+        xh_ext, xl_ext = _dw_halo_exchange([xh_loc, xl_loc], halo,
+                                           axis_name)
+        local = jnp.clip(cols_loc - me * n_local + halo,
+                         0, xh_ext.shape[0] - 1)
+        gh = jnp.take(xh_ext, local, axis=0)
+        gl = jnp.take(xl_ext, local, axis=0)
+        ph, pl = two_prod(data_loc, gh)
+        pl = pl + data_loc * gl
+        if data_lo_loc is not None:
+            pl = pl + data_lo_loc * gh
+        return dw_sum(ph, pl, axis=1)
+
+    return mv(*args)
+
+
+def bsr_matvec_halo_dw(op, xh, xl, mesh, axis_name="rows",
+                       halo_blocks=None, op_lo=None):
+    """Double-word distributed BSR matvec with block-granular ring halo
+    exchange (the dw mirror of :func:`bsr_matvec_halo`; MXU-shaped blocks,
+    compensated accumulation over the slot axis)."""
+    from ..linop import BsrOperator
+    from ..ops.df32 import dw_sum, fast_two_sum, two_prod, two_sum
+
+    assert isinstance(op, BsrOperator)
+    r, c = op.blockshape
+    assert r == c, "halo BSR assumes square blocks"
+    if halo_blocks is None:
+        halo_blocks = sparsity_bandwidth(op)
+    nb, L = op.block_cols.shape
+    n_dev = int(mesh.devices.size)
+    assert nb % n_dev == 0, "pad the block grid to the mesh first"
+    nb_local = nb // n_dev
+    assert op.shape[0] == op.shape[1] == nb * r
+    assert halo_blocks <= nb_local
+    blocks_lo = None
+    if op_lo is not None:
+        assert isinstance(op_lo, BsrOperator) and (
+            op_lo.blocks.shape == op.blocks.shape), "op_lo layout mismatch"
+        blocks_lo = op_lo.blocks
+    h = halo_blocks
+
+    specs = [P(axis_name, None, None, None), P(axis_name, None),
+             P(axis_name), P(axis_name)]
+    args = [op.blocks, op.block_cols, xh, xl]
+    if blocks_lo is not None:
+        specs.insert(1, P(axis_name, None, None, None))
+        args.insert(1, blocks_lo)
+
+    @partial(shard_map, mesh=mesh, in_specs=tuple(specs),
+             out_specs=(P(axis_name), P(axis_name)))
+    def mv(*a):
+        if blocks_lo is not None:
+            blocks_loc, blocks_lo_loc, bcols_loc, xh_loc, xl_loc = a
+        else:
+            (blocks_loc, bcols_loc, xh_loc, xl_loc), blocks_lo_loc = a, None
+        me = lax.axis_index(axis_name)
+        xbh = xh_loc.reshape(nb_local, c)
+        xbl = xl_loc.reshape(nb_local, c)
+        xbh_ext, xbl_ext = _dw_halo_exchange([xbh, xbl], h, axis_name)
+        local = jnp.clip(bcols_loc - me * nb_local + h,
+                         0, xbh_ext.shape[0] - 1)
+        yh = jnp.zeros((nb_local, r), jnp.float32)
+        yl = jnp.zeros((nb_local, r), jnp.float32)
+        # Static loop over the small slot axis bounds temporaries at
+        # (nb_local, r, c) — same shape discipline as bsr_matvec_dw.
+        for l in range(L):
+            gh = jnp.take(xbh_ext, local[:, l], axis=0)   # (nb_loc, c)
+            gl = jnp.take(xbl_ext, local[:, l], axis=0)
+            B = blocks_loc[:, l]                           # (nb_loc, r, c)
+            ph, pl = two_prod(B, gh[:, None, :])
+            pl = pl + B * gl[:, None, :]
+            if blocks_lo_loc is not None:
+                pl = pl + blocks_lo_loc[:, l] * gh[:, None, :]
+            sh, sl = dw_sum(ph, pl, axis=-1)               # (nb_loc, r)
+            s, e = two_sum(yh, sh)
+            yh, yl = s, yl + sl + e
+        yh, yl = fast_two_sum(yh, yl)
+        return yh.reshape(-1), yl.reshape(-1)
+
+    return mv(*args)
+
+
+def halo_matvec_closure(op, mesh, axis_name="rows", op_lo=None):
     """Wrap the format-appropriate halo matvec as an operator-compatible
     closure (for use as a ``CallableOperator`` inside the sharded
     solvers).  Dispatches on operator type; raises for formats without a
-    halo path (fall back to the GSPMD gather there)."""
+    halo path (fall back to the GSPMD gather there).
+
+    The closure also carries the DOUBLE-WORD halo matvec (``fn_dw``), so
+    ``partial_schur(..., refine=...)`` can run the 1e-8 dw continuation
+    over the same ring comms.  Pass ``op_lo`` (the sharded cast-residual
+    operator, same format/layout) to make the refinement target the
+    original f64 matrix rather than its f32 cast."""
     from ..linop import BsrOperator, CallableOperator, EllOperator
 
     if isinstance(op, BandedOperator):
         fn = lambda x: banded_matvec_halo(op, x, mesh, axis_name)  # noqa: E731
+        fn_dw = lambda xh, xl: banded_matvec_halo_dw(  # noqa: E731
+            op, xh, xl, mesh, axis_name, op_lo=op_lo)
     elif isinstance(op, EllOperator):
         halo = sparsity_bandwidth(op)
         fn = lambda x: ell_matvec_halo(op, x, mesh, axis_name, halo)  # noqa: E731
+        fn_dw = lambda xh, xl: ell_matvec_halo_dw(  # noqa: E731
+            op, xh, xl, mesh, axis_name, halo, op_lo=op_lo)
     elif isinstance(op, BsrOperator):
         hb = sparsity_bandwidth(op)
         fn = lambda x: bsr_matvec_halo(op, x, mesh, axis_name, hb)  # noqa: E731
+        fn_dw = lambda xh, xl: bsr_matvec_halo_dw(  # noqa: E731
+            op, xh, xl, mesh, axis_name, hb, op_lo=op_lo)
     else:
         raise TypeError(
             f"no halo path for {type(op).__name__}; use the GSPMD gather")
-    return CallableOperator(fn, op.shape, op.dtype, nnz=op.nnz)
+    return CallableOperator(fn, op.shape, op.dtype, nnz=op.nnz, fn_dw=fn_dw)

@@ -211,14 +211,16 @@ def partial_schur(
     elif refine == "dw":
         do_refine = True
     elif refine == "auto":
-        from ..linop import (BandedOperator, BsrOperator, DenseOperator,
-                             EllOperator)
+        from ..linop import (BandedOperator, BsrOperator, CallableOperator,
+                             DenseOperator, EllOperator)
 
         do_refine = (
             is_real_w and np.dtype(wdtype) == np.float32
             and tol < 1e-6
-            and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
-                                EllOperator)))
+            and (isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
+                                 EllOperator))
+                 or (isinstance(op, CallableOperator)
+                     and op.fn_dw is not None)))
     else:
         raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
     if do_refine:
