@@ -213,8 +213,8 @@ def realify_operator(A, dtype=None):
 
 
 def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
-                   dtype=None, ortho="cgs_dgks", key=None, block_size=2,
-                   return_eigenvectors=True):
+                   dtype=None, ortho="cgs_dgks", key=None, v0=None,
+                   block_size=2, return_eigenvectors=True):
     """Eigenpairs of a COMPLEX matrix computed entirely in real arithmetic
     via :func:`realify_operator` — the route for complex problems on the
     complex-free TPU backend.
@@ -235,6 +235,12 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     R = realify_operator(A, dtype=dtype)
     n = R.shape[0] // 2
     sort_function = sort_function_for(which)
+    if v0 is not None:
+        # A complex start z maps to its real 2n representation [Re z; Im z]
+        # (z = w1 + i w2 convention of realify_operator).
+        v0 = np.asarray(v0)
+        assert v0.shape == (n,), (v0.shape, n)
+        v0 = np.concatenate([np.real(v0), np.imag(v0)])
 
     # nev doubles (lambda + conj copies share the sort rank for the
     # conjugation-invariant criteria above), so the Krylov dimension must
@@ -246,7 +252,7 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     Q, T, hist = partial_schur(
         R, 2 * k, max_dim=2 * ncv if ncv else None, stopping_criterion=tol,
         sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
-        key=key, block_size=block_size,
+        key=key, v0=v0, block_size=block_size,
     )
     vals2, vecs2 = eigenpairs_from_partial_schur(Q, T)
     vals2 = np.asarray(vals2)
@@ -346,7 +352,7 @@ def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
 
 
 def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
-         maxiter=1000, dtype=None, ortho="cgs_dgks", key=None,
+         maxiter=1000, dtype=None, ortho="cgs_dgks", key=None, v0=None,
          return_eigenvectors=True, inner_solver="bicgstab", inner_tol=None):
     """scipy.sparse.linalg.eigs-compatible driver on the Krylov-Schur core.
 
@@ -354,7 +360,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     (the outer iteration runs LM on ``(A - sigma I)^{-1}``).  ``M``
     activates the generalized problem ``A x = lambda M x`` (inner Krylov
     solves against M, or against ``A - sigma M`` when combined with
-    ``sigma``).
+    ``sigma``).  ``v0`` is the scipy start vector (overrides ``key``).
     """
     from .krylov_schur import (
         _backend_supports_complex,
@@ -372,7 +378,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         # as_operator so no complex device array is ever allocated.
         return eigs_realified(
             A, k, which=which, tol=tol, ncv=ncv, maxiter=maxiter,
-            dtype=dtype, ortho=ortho, key=key,
+            dtype=dtype, ortho=ortho, key=key, v0=v0,
             return_eigenvectors=return_eigenvectors,
         )
     op = as_operator(A, dtype=dtype)
@@ -386,7 +392,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         Q, T, hist = partial_schur(
             gop, k, max_dim=ncv, stopping_criterion=tol,
             sort_function=outer_sort, max_restarts=maxiter, ortho=ortho,
-            dtype=dtype, key=key,
+            dtype=dtype, key=key, v0=v0,
         )
         theta, vecs = eigenpairs_from_partial_schur(Q, T)
         vals = _transform_back(theta, sigma) if sigma is not None else theta
@@ -414,7 +420,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         Q, T, hist = partial_schur(
             solve_op, k, max_dim=ncv, stopping_criterion=tol,
             sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
-            dtype=dtype, key=key,
+            dtype=dtype, key=key, v0=v0,
         )
         theta, vecs = eigenpairs_from_partial_schur(Q, T)
         vals = _transform_back(theta, sigma)
@@ -433,7 +439,7 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     Q, T, hist = partial_schur(
         op, k, max_dim=ncv, stopping_criterion=tol,
         sort_function=sort_function, max_restarts=maxiter, ortho=ortho,
-        dtype=dtype, key=key,
+        dtype=dtype, key=key, v0=v0,
     )
     vals, vecs = eigenpairs_from_partial_schur(Q, T)
 
@@ -449,8 +455,9 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
 
 
 def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
-          maxiter=1000, dtype=None, key=None, return_eigenvectors=True,
-          inner_solver="cg", inner_tol=None, block_size=1):
+          maxiter=1000, dtype=None, key=None, v0=None,
+          return_eigenvectors=True, inner_solver="cg", inner_tol=None,
+          block_size=1):
     """scipy.sparse.linalg.eigsh-compatible driver on the thick-restart
     Lanczos core (Hermitian A)."""
     from .lanczos import SYM_SORTS, partial_eigh
@@ -471,13 +478,13 @@ def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
         theta, vecs, hist = partial_eigh(
             solve_op, k, which=which, max_dim=ncv,
             stopping_criterion=tol, max_restarts=maxiter, dtype=dtype,
-            key=key, block_size=block_size,
+            key=key, v0=v0, block_size=block_size,
         )
         vals = _transform_back(theta, sigma)
     else:
         vals, vecs, hist = partial_eigh(
             op, k, which=which, max_dim=ncv, stopping_criterion=tol,
-            max_restarts=maxiter, dtype=dtype, key=key,
+            max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
             block_size=block_size,
         )
     # scipy returns eigenvalues ascending.

@@ -24,7 +24,7 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
-         dtype=None, key=None, block_size=1,
+         dtype=None, key=None, v0=None, block_size=1,
          return_singular_vectors=True):
     """Compute ``k`` singular triplets of ``A`` (any shape; wide matrices
     are handled by running Lanczos on ``A A^H`` internally).
@@ -33,7 +33,8 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     ascending), or just ``s`` when ``return_singular_vectors=False``.
     ``which='LM'`` selects the largest singular values, ``'SM'`` the
     smallest (slow convergence, like ARPACK without shift-invert — prefer
-    modest ``k`` and generous ``maxiter``).
+    modest ``k`` and generous ``maxiter``).  ``v0`` is the scipy start
+    vector of length ``min(A.shape)`` (the Gram dimension).
     """
     if which not in ("LM", "SM"):
         raise ValueError(
@@ -61,9 +62,13 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     from .lanczos import partial_eigh
 
     eig_which = "LA" if which == "LM" else "SA"
+    if v0 is not None:
+        v0 = np.asarray(v0)
+        assert v0.shape == (gram_dim,), (v0.shape, gram_dim)
     theta, W, hist = partial_eigh(
         gram, k, which=eig_which, max_dim=ncv, stopping_criterion=tol,
-        max_restarts=maxiter, dtype=dtype, key=key, block_size=block_size,
+        max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
+        block_size=block_size,
     )
     theta = np.maximum(np.asarray(theta), 0.0)
     order = np.argsort(theta)  # scipy returns ascending singular values

@@ -214,3 +214,63 @@ class TestRealifiedAdversarial:
         np.testing.assert_allclose(a, b, atol=1e-8)
         res = np.linalg.norm(A @ vecs - vals * vecs, axis=0)
         np.testing.assert_allclose(res, 0, atol=1e-8)
+
+
+class TestStartVectorV0:
+    """scipy `v0=` parity: explicit start vectors through the whole
+    scipy-compatible surface (ref scipy.sparse.linalg signatures)."""
+
+    def test_eigs_v0_deterministic(self):
+        A = mark(12)
+        n = A.shape[0]
+        v0 = np.sin(np.arange(n) + 1.0)
+        vals1, vecs1 = eigs(A, 4, which="LR", tol=1e-9, v0=v0, maxiter=5000)
+        vals2, _ = eigs(A, 4, which="LR", tol=1e-9, v0=v0, maxiter=5000)
+        np.testing.assert_array_equal(vals1, vals2)  # no RNG in the path
+        r_vals = spla.eigs(A, 4, which="LR")[0]
+        a, b = find_best_matching(vals1, r_vals)
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+
+    def test_eigsh_v0(self):
+        A = laplace(64).tocsr()
+        v0 = np.cos(0.1 * np.arange(64))
+        vals, vecs = eigsh(A, 3, which="SA", tol=1e-9, v0=v0, maxiter=5000)
+        want = np.sort(laplace_eigen(64))[:3]
+        np.testing.assert_allclose(vals, want, rtol=1e-7, atol=1e-9)
+
+    def test_eigs_sigma_v0(self):
+        n = 80
+        A = laplace(n).tocsr()
+        sigma = -1.7
+        v0 = np.ones(n)
+        vals, _ = eigs(A, 3, sigma=sigma, tol=1e-9, v0=v0, maxiter=5000)
+        full = np.sort(laplace_eigen(n))
+        want = full[np.argsort(np.abs(full - sigma))[:3]]
+        a, b = find_best_matching(np.real(vals), want)
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-8)
+
+    def test_svds_v0(self):
+        from arnoldi_tpu import svds
+
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((40, 90))  # wide: gram dim = 40
+        v0 = rng.standard_normal(40)
+        U, s, Vh = svds(A, 3, tol=1e-10, v0=v0, maxiter=4000)
+        want = np.linalg.svd(A, compute_uv=False)[:3][::-1]
+        np.testing.assert_allclose(s, want, rtol=1e-8)
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s, atol=1e-7)
+
+    def test_realified_v0_complex(self):
+        from arnoldi_tpu import eigs_realified
+
+        rng = np.random.default_rng(6)
+        lams = np.array([2.0 + 1.0j, -1.5 + 0.5j, 0.3 - 0.8j,
+                         0.1 + 0.2j, -0.05 - 0.4j, 0.6 + 0.0j])
+        Qc, _ = np.linalg.qr(rng.standard_normal((6, 6))
+                             + 1j * rng.standard_normal((6, 6)))
+        A = Qc @ np.diag(lams) @ Qc.conj().T
+        v0 = rng.standard_normal(6) + 1j * rng.standard_normal(6)
+        vals, vecs = eigs_realified(A, 2, which="LM", tol=1e-11, v0=v0,
+                                    maxiter=4000)
+        a, b = find_best_matching(vals, lams[:2])
+        np.testing.assert_allclose(a, b, atol=1e-8)
