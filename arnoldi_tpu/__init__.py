@@ -22,6 +22,7 @@ from .solvers.spectral_transform import (
     shift_invert_operator,
 )
 from .solvers.svd import svds
+from .solvers.filtered import eigsh_filtered
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
     History,
@@ -43,6 +44,7 @@ __all__ = [
     "partial_eigh",
     "eigs",
     "eigsh",
+    "eigsh_filtered",
     "svds",
     "shift_invert_operator",
     "generalized_operator",

@@ -1,0 +1,346 @@
+"""Chebyshev-filtered subspace iteration: interior eigenpairs WITHOUT
+linear solves (``eigsh_filtered``).
+
+The reference (and scipy/ARPACK) reach interior eigenvalues only through
+shift-invert, which needs a factorization or an inner iterative solve per
+matvec — both poor fits for this backend (the axon TPU runtime has no host
+callbacks, so ``splu`` is CPU-only, and BiCGStab on an indefinite
+``A - sigma I`` can stall; see ``solvers/spectral_transform.py``).  The
+TPU-idiomatic alternative is POLYNOMIAL filtering (Saad, "Numerical
+Methods for Large Eigenvalue Problems" ch. 7; the EVSL / ChASE design):
+
+* build a Jackson-damped Chebyshev expansion ``p`` of the indicator
+  function of the wanted window ``[a, b]`` over the spectral interval
+  ``[lmin, lmax]`` — ``p(A)`` maps wanted eigenvalues near 1 and the rest
+  near 0, and costs only ``degree`` matvecs per vector;
+* run subspace iteration with Rayleigh-Ritz on ``A``: every step is a
+  block three-term recurrence (gemm-rich, MXU-shaped, static trip count
+  under ``lax.fori_loop``) followed by CholQR2 orthonormalization and a
+  small host ``eigh`` — no factorization, no inner solves, no
+  data-dependent shapes.
+
+Everything device-side is one jitted dispatch per outer iteration; the
+host only checks convergence.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..linop import as_operator
+from ..utils.history import History
+
+__all__ = [
+    "eigsh_filtered",
+    "estimate_window_count",
+    "spectrum_bounds",
+    "jackson_cheby_coeffs",
+    "cheby_filter",
+]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def spectrum_bounds(A, m=40, *, key=None, dtype=None):
+    """Safe enclosure ``[lmin, lmax]`` of a Hermitian operator's spectrum
+    from one ``m``-step Lanczos run.
+
+    The Chebyshev filter REQUIRES an enclosure (an eigenvalue outside the
+    mapped ``[-1, 1]`` makes the recurrence diverge exponentially), so the
+    extremal Ritz values are inflated by the factorization's residual bound
+    ``|beta_m|`` plus a small relative safety margin.
+    """
+    from .decomposition import arnoldi_expand
+
+    op = as_operator(A, dtype=dtype)
+    n = op.shape[0]
+    m = int(min(m, n - 1))
+    wdtype = op.dtype
+    if key is None:
+        key = jax.random.key(0)
+    from ..utils.random import rand_normalized_vector
+
+    v0 = rand_normalized_vector(key, n, wdtype)
+    Vt = jnp.zeros((m + 1, n), wdtype).at[0].set(v0)
+    H = jnp.zeros((m + 1, m), wdtype)
+    Vt, H, n_iter = arnoldi_expand(op, Vt, H, max_dim=m)
+    k = int(n_iter)
+    Hk = np.asarray(H, dtype=np.float64)[:k, :k]
+    theta, U = np.linalg.eigh(0.5 * (Hk + Hk.T))
+    beta = abs(float(np.asarray(H)[k, k - 1])) if k < H.shape[0] else 0.0
+    spread = max(theta[-1] - theta[0], np.finfo(np.float64).tiny)
+    # Per-pair Lanczos residual bound |beta * u_last| (Saad thm 6.6,
+    # Paige): far tighter than the blanket |beta| for the converged
+    # extremal pairs, which is all the enclosure needs.
+    lo_res = beta * abs(float(U[-1, 0]))
+    hi_res = beta * abs(float(U[-1, -1]))
+    return (float(theta[0] - lo_res - 0.005 * spread),
+            float(theta[-1] + hi_res + 0.005 * spread))
+
+
+def jackson_cheby_coeffs(a, b, lmin, lmax, degree):
+    """Chebyshev coefficients (Jackson-damped) of the indicator function of
+    ``[a, b]`` on the spectrum interval ``[lmin, lmax]``.
+
+    With the affine map ``t = (x - c)/e`` (``c`` center, ``e`` half-width of
+    ``[lmin, lmax]``), the indicator of ``[alpha, beta]`` in ``t`` has the
+    classical expansion ``c_0 = (ta - tb)/pi``,
+    ``c_j = 2 (sin(j ta) - sin(j tb)) / (pi j)`` with
+    ``ta = arccos(alpha) >= tb = arccos(beta)``.  Jackson damping kills the
+    Gibbs oscillation so the filtered values stay in ``(~0, ~1)``.
+
+    Returns a float64 numpy array of length ``degree + 1``.
+    """
+    N = int(degree)
+    assert N >= 1
+    c = 0.5 * (lmax + lmin)
+    e = 0.5 * (lmax - lmin)
+    assert e > 0
+    alpha = min(max((a - c) / e, -1.0), 1.0)
+    beta = min(max((b - c) / e, -1.0), 1.0)
+    assert alpha < beta, f"empty window after mapping: [{alpha}, {beta}]"
+    ta, tb = np.arccos(alpha), np.arccos(beta)
+    j = np.arange(1, N + 1, dtype=np.float64)
+    coeffs = np.empty(N + 1, np.float64)
+    coeffs[0] = (ta - tb) / np.pi
+    coeffs[1:] = 2.0 * (np.sin(j * ta) - np.sin(j * tb)) / (np.pi * j)
+    # Jackson damping factors g_j (the kernel-polynomial-method form,
+    # Weisse et al., Rev. Mod. Phys. 78, 275 (2006), eq. 71).
+    jj = np.arange(0, N + 1, dtype=np.float64)
+    den = N + 1.0
+    g = ((den - jj) * np.cos(np.pi * jj / den)
+         + np.sin(np.pi * jj / den) / np.tan(np.pi / den)) / den
+    return coeffs * g
+
+
+def cheby_filter(op, X, coeffs, lmin, lmax):
+    """Apply the Chebyshev filter ``p(A)`` to the row-block ``X`` ``(s, n)``.
+
+    Three-term recurrence with a STATIC trip count (``len(coeffs) - 1``)
+    under ``lax.fori_loop``; each step is one operator matmat over the
+    whole block — the gemm/gather-rich shape the MXU wants (cf. the block
+    drivers in ``solvers/lanczos.py``).
+    """
+    coeffs = jnp.asarray(coeffs, X.dtype)
+    N = int(coeffs.shape[0]) - 1
+    c = jnp.asarray(0.5 * (lmax + lmin), X.dtype)
+    inv_e = jnp.asarray(2.0 / (lmax - lmin), X.dtype)
+
+    def amap(W):  # rows-of-vectors convention
+        return (op.matmat(W.T).T - c * W) * inv_e
+
+    T0 = X
+    T1 = amap(X)
+    Y = coeffs[0] * T0 + coeffs[1] * T1
+
+    def body(jdx, carry):
+        Tm1, T, Y = carry
+        Tn = 2.0 * amap(T) - Tm1
+        return (T, Tn, Y + coeffs[jdx] * Tn)
+
+    if N >= 2:
+        _, _, Y = lax.fori_loop(2, N + 1, body, (T0, T1, Y))
+    return Y
+
+
+def _cholqr2(X):
+    """CholQR2 orthonormalization of the row-block ``(s, n)`` (gemm + tiny
+    Cholesky twice — the same MXU-friendly kernel as ``ops.ortho.block_cgs2``
+    without the outer-basis projection)."""
+    from jax.scipy.linalg import cholesky, solve_triangular
+
+    eps = jnp.finfo(X.dtype).eps
+    s = X.shape[0]
+
+    def qr_pass(X):
+        G = jnp.matmul(X, X.T, precision=_PREC)
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))), 1.0)
+        L = cholesky(G + (eps * scale) * jnp.eye(s, dtype=X.dtype),
+                     lower=True)
+        return solve_triangular(L, X, lower=True)
+
+    return qr_pass(qr_pass(X))
+
+
+@jax.jit
+def _kpm_count(op, Z, coeffs, lmin, lmax):
+    Y = cheby_filter(op, Z, coeffs, lmin, lmax)
+    return jnp.mean(jnp.sum(Z * Y, axis=1))
+
+
+def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
+                          key=None, dtype=None, bounds_dim=40):
+    """Stochastic estimate of the NUMBER of eigenvalues of a Hermitian
+    operator inside ``interval`` (the kernel-polynomial-method trace
+    estimator: ``tr(1_{[a,b]}(A)) ~ mean_z z^T p(A) z`` over Rademacher
+    probes — EVSL's spectrum-slicing counter).  Costs
+    ``probes * (degree + 1)`` matvecs; used by :func:`eigsh_filtered` to
+    size its iteration subspace.
+    """
+    op = as_operator(A, dtype=dtype)
+    n = op.shape[0]
+    wdtype = op.dtype
+    if key is None:
+        key = jax.random.key(1)
+    kb, kz = jax.random.split(key)
+    if bounds is None:
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+    else:
+        lmin, lmax = float(bounds[0]), float(bounds[1])
+    a = max(float(interval[0]), lmin)
+    b = min(float(interval[1]), lmax)
+    assert a < b, (interval, (lmin, lmax))
+    coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, degree)
+    Z = jax.random.rademacher(kz, (int(probes), n), dtype=wdtype)
+    return float(_kpm_count(op, Z, jnp.asarray(coeffs, wdtype), lmin, lmax))
+
+
+@jax.jit
+def _filter_rr_step(op, X, coeffs, lmin, lmax):
+    """One filtered subspace iteration: filter, orthonormalize,
+    Rayleigh-Ritz on A, residual norms.  Single device dispatch (operators
+    are registered pytrees, so ``op`` rides through jit as data)."""
+    Y = cheby_filter(op, X, coeffs, lmin, lmax)
+    Q = _cholqr2(Y)
+    AQ = op.matmat(Q.T).T                              # (s, n)
+    S = jnp.matmul(Q, AQ.T, precision=_PREC)           # (s, s)
+    theta, U = jnp.linalg.eigh(0.5 * (S + S.T))
+    V = jnp.matmul(U.T, Q, precision=_PREC)            # Ritz rows
+    AV = jnp.matmul(U.T, AQ, precision=_PREC)
+    R = AV - theta[:, None] * V
+    res = jnp.linalg.norm(R, axis=1)
+    return V, theta, res
+
+
+def eigsh_filtered(
+    A,
+    nev,
+    interval,
+    *,
+    degree=None,
+    subspace=None,
+    tol=None,
+    max_iters=200,
+    bounds=None,
+    bounds_dim=40,
+    dtype=None,
+    key=None,
+):
+    """``nev`` eigenpairs of a HERMITIAN operator inside ``interval=(a, b)``
+    by Chebyshev-filtered subspace iteration — interior spectrum WITHOUT
+    shift-invert (no factorization, no inner solves; every step is
+    ``degree`` matvecs per subspace vector).
+
+    Parameters
+    ----------
+    interval : the wanted window ``(a, b)`` in eigenvalue space.
+    degree : Chebyshev degree of the filter; default scales with the ratio
+        of the spectrum width to the window width (wider spectra / narrower
+        windows need sharper filters).
+    subspace : iteration block size; by default sized from a stochastic
+        count of the eigenvalues inside the window
+        (:func:`estimate_window_count`) — the subspace must OVERSAMPLE the
+        full in-window cluster, not just ``nev``, or the unresolved
+        neighbors stall convergence (measured 8x matvec swing on the 1-D
+        Laplacian).
+    tol : residual tolerance, RELATIVE to the spectral radius bound
+        (``max(|lmin|, |lmax|)``); default ``sqrt(eps(work dtype))``.
+    bounds : optional precomputed spectral enclosure ``(lmin, lmax)``;
+        estimated by :func:`spectrum_bounds` otherwise (must ENCLOSE the
+        spectrum — see that docstring).
+    max_iters : outer (filter + Rayleigh-Ritz) iteration cap.
+
+    Returns
+    -------
+    vals : converged eigenvalues inside the window, ascending (scipy
+        convention), at most ``nev`` (nearest window center first when more
+        than ``nev`` converge).
+    vecs : matching Ritz vectors, columns ``(n, len(vals))``.
+    history : :class:`History` with the total matvec count and per-sweep
+        residual trace.
+
+    Raises ``RuntimeError`` ("Has not converged !") when fewer than ``nev``
+    pairs inside the window reach ``tol`` within ``max_iters`` sweeps.
+    """
+    op = as_operator(A, dtype=dtype)
+    n = op.shape[0]
+    assert op.shape[1] == n
+    wdtype = op.dtype
+    assert not np.issubdtype(np.dtype(wdtype), np.complexfloating), (
+        "eigsh_filtered is the real/Hermitian driver; realify complex "
+        "operators first (linop.realify_operator)")
+    a, b = float(interval[0]), float(interval[1])
+    assert a < b, f"empty interval {interval}"
+
+    if key is None:
+        key = jax.random.key(0)
+    kb, kx, kz = jax.random.split(key, 3)
+
+    if bounds is None:
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+    else:
+        lmin, lmax = float(bounds[0]), float(bounds[1])
+    # The window must be inside the enclosure for the arccos map.
+    a_m, b_m = max(a, lmin), min(b, lmax)
+    assert a_m < b_m, (
+        f"window [{a}, {b}] lies outside the spectral enclosure "
+        f"[{lmin}, {lmax}]")
+
+    if degree is None:
+        # Sharper filters for narrower windows: the transition width of the
+        # damped expansion scales like (lmax - lmin) / N.
+        degree = int(min(max(8.0 * (lmax - lmin) / (b_m - a_m), 16), 2000))
+    coeffs = jackson_cheby_coeffs(a_m, b_m, lmin, lmax, degree)
+
+    matvecs = 0
+    if subspace is not None:
+        s = int(subspace)
+    else:
+        # Size the subspace from the in-window eigenvalue count: 1.5x
+        # oversampling + margin (both the estimator noise and the
+        # straddling neighbors want headroom).
+        cdeg = int(min(degree, 150))
+        probes = 8
+        count = estimate_window_count(
+            op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg,
+            probes=probes, key=kz)
+        matvecs += probes * (cdeg + 1)
+        s = max(nev + 6, int(np.ceil(1.5 * max(count, 0.0))) + 6)
+    s = min(max(s, nev), n)
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(wdtype).eps))
+    scale = max(abs(lmin), abs(lmax))
+
+    X = jax.random.normal(kx, (s, n), dtype=wdtype)
+    X = _cholqr2(X)
+
+    history = History.from_k(nev)
+    center = 0.5 * (a + b)
+    for sweep in range(int(max_iters)):
+        X, theta, res = _filter_rr_step(op, X, coeffs, lmin, lmax)
+        matvecs += (degree + 1) * s
+        theta_h = np.asarray(theta, np.float64)
+        res_h = np.asarray(res, np.float64)
+        inside = np.nonzero((theta_h >= a) & (theta_h <= b))[0]
+        # The break test checks EXACTLY the pairs that would be returned:
+        # the nev nearest-center inside the window.  Testing "any nev
+        # converged inside" instead lets a transient Ritz ghost (an
+        # unconverged subspace direction whose Rayleigh quotient lands in
+        # the window) displace the true nearest pairs at the break sweep.
+        pick = inside[np.argsort(np.abs(theta_h[inside] - center))[:nev]]
+        history.residual_trace.append(
+            float(res_h[pick].max() / scale) if pick.size else np.inf)
+        if pick.size >= nev and np.all(res_h[pick] <= tol * scale):
+            break
+    else:
+        raise RuntimeError("Has not converged !")
+
+    pick = pick[np.argsort(theta_h[pick])]  # scipy-ascending
+    vals = theta_h[pick]
+    vecs = np.asarray(X, np.float64)[pick].T
+    history.total = matvecs
+    history.matvecs[:] = matvecs
+    history.restarts[:] = sweep + 1
+    return vals, vecs, history

@@ -1,0 +1,165 @@
+"""Chebyshev-filtered interior eigensolver tests (solvers/filtered.py).
+
+The capability the reference reaches only through shift-invert (ARPACK
+sigma mode, scripts/compare-against-arpack.py flags) — here via polynomial
+filtering, the no-factorization TPU route; validated against the analytic
+Laplacian spectra and the shift-invert driver itself.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from arnoldi_tpu import eigsh, eigsh_filtered
+from arnoldi_tpu.matrices import laplace, laplace_2d, laplace_eigen
+from arnoldi_tpu.solvers.filtered import (
+    cheby_filter,
+    estimate_window_count,
+    jackson_cheby_coeffs,
+    spectrum_bounds,
+)
+
+
+class TestPieces:
+    def test_spectrum_bounds_enclose(self):
+        n = 150
+        L = laplace(n).tocsr()
+        lmin, lmax = spectrum_bounds(L, 40, dtype=np.float64)
+        full = laplace_eigen(n)
+        assert lmin <= full.min() and lmax >= full.max()
+        # ... and not absurdly loose (within 20% of the spread).
+        spread = full.max() - full.min()
+        assert lmin >= full.min() - 0.2 * spread
+        assert lmax <= full.max() + 0.2 * spread
+
+    def test_jackson_indicator_shape(self):
+        # The damped expansion approximates the indicator: near 1 inside,
+        # near 0 far outside, monotone-ish transition, no Gibbs overshoot
+        # beyond a few percent.
+        a, b, lmin, lmax = -2.2, -1.8, -4.0, 0.0
+        coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, 200)
+        x = np.linspace(lmin, lmax, 2001)
+        t = (x - 0.5 * (lmax + lmin)) / (0.5 * (lmax - lmin))
+        # evaluate sum c_j T_j(t) by recurrence (host)
+        T0, T1 = np.ones_like(t), t
+        y = coeffs[0] * T0 + coeffs[1] * T1
+        for j in range(2, len(coeffs)):
+            T0, T1 = T1, 2 * t * T1 - T0
+            y += coeffs[j] * T1
+        inside = (x > a + 0.1) & (x < b - 0.1)
+        far = (x < a - 0.4) | (x > b + 0.4)
+        assert y[inside].min() > 0.5
+        assert np.abs(y[far]).max() < 0.05
+        assert y.max() < 1.05 and y.min() > -0.05  # Jackson: no Gibbs
+
+    def test_filter_matches_dense_polynomial(self):
+        # p(A) X from the recurrence == eigen-decomposition evaluation.
+        rng = np.random.default_rng(3)
+        n = 60
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(-1.5, 3.5, n)
+        A = (Q * lam) @ Q.T
+        lmin, lmax = -2.0, 4.0
+        coeffs = jackson_cheby_coeffs(0.5, 1.5, lmin, lmax, 80)
+        X = rng.standard_normal((4, n))
+        got = np.asarray(cheby_filter(
+            __import__("arnoldi_tpu").linop.as_operator(A, dtype=np.float64),
+            np.asarray(X), coeffs, lmin, lmax))
+        # dense evaluation through the eigenbasis
+        t = (lam - 0.5 * (lmax + lmin)) / (0.5 * (lmax - lmin))
+        T0, T1 = np.ones_like(t), t
+        p = coeffs[0] * T0 + coeffs[1] * T1
+        for j in range(2, len(coeffs)):
+            T0, T1 = T1, 2 * t * T1 - T0
+            p += coeffs[j] * T1
+        want = X @ (Q * p) @ Q.T
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_window_count_estimator(self):
+        n = 300
+        L = laplace(n).tocsr()
+        full = laplace_eigen(n)
+        a, b = -2.5, -1.5
+        true = int(((full >= a) & (full <= b)).sum())
+        est = estimate_window_count(L, (a, b), dtype=np.float64,
+                                    key=jax.random.key(7))
+        assert abs(est - true) < 0.3 * true + 3, (est, true)
+
+
+class TestEigshFiltered:
+    def test_laplace_interior(self):
+        n = 200
+        L = laplace(n).tocsr()
+        a, b = -2.2, -1.8
+        vals, vecs, hist = eigsh_filtered(
+            L, 4, (a, b), tol=1e-10, dtype=np.float64,
+            key=jax.random.key(0))
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= a) & (full <= b)]
+        c = 0.5 * (a + b)
+        want4 = np.sort(want[np.argsort(np.abs(want - c))[:4]])
+        np.testing.assert_allclose(vals, want4, atol=1e-9)
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 1e-8
+        # orthonormal output
+        np.testing.assert_allclose(vecs.T @ vecs, np.eye(4), atol=1e-9)
+        assert hist.total_matvecs > 0
+        assert len(hist.residual_trace) == hist.restarts[0]
+
+    def test_laplace_2d_window(self):
+        from arnoldi_tpu.matrices import laplace_2d_eigen
+
+        L = laplace_2d(24)
+        full = np.sort(laplace_2d_eigen(24))
+        a, b = -5.0, -4.5
+        k = 3
+        vals, vecs, _ = eigsh_filtered(
+            L, k, (a, b), tol=1e-10, dtype=np.float64,
+            key=jax.random.key(2))
+        want = full[(full >= a) & (full <= b)]
+        c = 0.5 * (a + b)
+        wantk = np.sort(want[np.argsort(np.abs(want - c))[:k]])
+        np.testing.assert_allclose(vals, wantk, atol=1e-8)
+
+    def test_matches_shift_invert(self):
+        n = 120
+        L = laplace(n).tocsr()
+        sigma = -1.3
+        si_vals, _ = eigsh(L, 3, sigma=sigma, tol=1e-10, dtype=np.float64,
+                           key=jax.random.key(4), inner_solver="splu")
+        f_vals, _, _ = eigsh_filtered(
+            L, 3, (sigma - 0.25, sigma + 0.25), tol=1e-10,
+            dtype=np.float64, key=jax.random.key(4))
+        np.testing.assert_allclose(np.sort(f_vals), np.sort(si_vals),
+                                   atol=1e-8)
+
+    def test_f32_path(self):
+        # The on-device dtype: residuals to ~1e-5 relative.
+        n = 160
+        L = laplace(n).tocsr()
+        vals, vecs, _ = eigsh_filtered(
+            L, 3, (-2.1, -1.9), tol=3e-5, dtype=np.float32,
+            key=jax.random.key(5))
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 4.0 * 3e-5
+        # every returned value is a true in-window eigenvalue (the
+        # center-distance pick is tie-ambiguous: the spectrum is symmetric
+        # about -2, so match against the whole window instead).
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= -2.1) & (full <= -1.9)]
+        dist = np.abs(vals[:, None] - want[None, :]).min(axis=1)
+        assert dist.max() < 1e-4, (vals, want)
+        assert np.unique(np.round(vals, 3)).size == 3  # distinct pairs
+
+    def test_not_converged_raises(self):
+        L = laplace(100).tocsr()
+        with pytest.raises(RuntimeError, match="Has not converged !"):
+            eigsh_filtered(L, 3, (-2.1, -1.9), tol=1e-12, max_iters=1,
+                           degree=8, dtype=np.float64)
+
+    def test_bad_window_raises(self):
+        L = laplace(50).tocsr()
+        with pytest.raises(AssertionError):
+            eigsh_filtered(L, 2, (10.0, 12.0), dtype=np.float64)  # outside
+        with pytest.raises(AssertionError):
+            eigsh_filtered(L, 2, (-1.0, -1.0), dtype=np.float64)  # empty
