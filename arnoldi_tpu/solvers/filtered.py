@@ -227,6 +227,7 @@ def eigsh_filtered(
     bounds_dim=40,
     dtype=None,
     key=None,
+    refine="auto",
 ):
     """``nev`` eigenpairs of a HERMITIAN operator inside ``interval=(a, b)``
     by Chebyshev-filtered subspace iteration — interior spectrum WITHOUT
@@ -251,6 +252,13 @@ def eigsh_filtered(
         estimated by :func:`spectrum_bounds` otherwise (must ENCLOSE the
         spectrum — see that docstring).
     max_iters : outer (filter + Rayleigh-Ritz) iteration cap.
+    refine : like :func:`arnoldi_tpu.partial_schur` — "auto" engages the
+        double-word continuation when the work dtype is float32 and ``tol``
+        < 1e-6 (format operators only): the coarse f32 phase stops at 1e-5
+        and the same filtered sweep continues in compensated arithmetic to
+        ``tol`` against the TRUE matrix (1e-8-grade interior residuals on
+        the f64-free device; outputs come back float64).  "dw" forces it,
+        None disables.
 
     Returns
     -------
@@ -313,6 +321,27 @@ def eigsh_filtered(
         tol = float(np.sqrt(np.finfo(wdtype).eps))
     scale = max(abs(lmin), abs(lmax))
 
+    # Double-word continuation (see the refinement tier below): the f32
+    # loop runs to a coarse tolerance, then the same sweep continues in
+    # compensated arithmetic against the true matrix.
+    if refine in (None, "none", False):
+        do_refine = False
+    elif refine == "dw":
+        do_refine = True
+    elif refine == "auto":
+        from ..linop import (BandedOperator, BsrOperator, DenseOperator,
+                             EllOperator)
+
+        do_refine = (
+            np.dtype(wdtype) == np.float32 and tol < 1e-6
+            and isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
+                                EllOperator)))
+    else:
+        raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
+    tol_target = tol
+    if do_refine:
+        tol = max(tol, 1e-5)
+
     X = jax.random.normal(kx, (s, n), dtype=wdtype)
     X = _cholqr2(X)
 
@@ -337,10 +366,217 @@ def eigsh_filtered(
     else:
         raise RuntimeError("Has not converged !")
 
+    n_sweeps = sweep + 1
+    if do_refine:
+        from .refine import build_cast_residual_operator, cast_operator_f32
+
+        op32 = cast_operator_f32(op)
+        op_lo = build_cast_residual_operator(A, op32)
+        from ..ops.df32 import dw_to_f64
+
+        theta_r, (Xh_r, Xl_r), res_r, r_sweeps, r_mv = _refine_filtered_dw(
+            op32, op_lo, X, a=a_m, b=b_m, lmin=lmin, lmax=lmax,
+            degree=degree, tol=tol_target, scale=scale, nev=nev,
+            history=history)
+        matvecs += r_mv
+        n_sweeps += r_sweeps
+        inside = np.nonzero((theta_r >= a) & (theta_r <= b))[0]
+        pick = inside[np.argsort(np.abs(theta_r[inside] - center))[:nev]]
+        pick = pick[np.argsort(theta_r[pick])]  # scipy-ascending
+        # Transfer ONLY the picked rows (both limbs): through a remote
+        # tunnel the full (s, n) workspace pull dominates wall time (see
+        # the refine.py output path).
+        idx = jnp.asarray(pick)
+        vals = theta_r[pick]
+        vecs = dw_to_f64(np.asarray(Xh_r[idx]), np.asarray(Xl_r[idx])).T
+        history.total = matvecs
+        history.matvecs[:] = matvecs
+        history.restarts[:] = n_sweeps
+        return vals, vecs, history
+
     pick = pick[np.argsort(theta_h[pick])]  # scipy-ascending
     vals = theta_h[pick]
     vecs = np.asarray(X, np.float64)[pick].T
     history.total = matvecs
     history.matvecs[:] = matvecs
-    history.restarts[:] = sweep + 1
+    history.restarts[:] = n_sweeps
     return vals, vecs, history
+
+
+# ---------------------------------------------------------------------------
+# Double-word refinement tier: 1e-8-grade INTERIOR pairs on the f32 device.
+#
+# The f32 filter sweep cannot push past ~1e-6 relative residuals: each f32
+# recurrence step scatters rounding noise across ALL eigendirections, so
+# directions outside the window (filter gain ~0) are re-excited at the f32
+# unit-roundoff level every sweep — the subspace angle floors near u_f32
+# regardless of iteration count.  Running the SAME sweep in double-word
+# arithmetic (ops/df32: error-free products, compensated accumulation,
+# ~2^-49 unit roundoff) removes the floor; the tiny s x s factorizations
+# (Cholesky, eigh) happen on the host in f64 and are applied back as
+# compensated small-gemms.  Mirrors solvers/refine.py for the extremal
+# drivers; engaged via ``eigsh_filtered(refine="auto")``.
+
+
+def _dw_scalar(x):
+    """Split a host f64 scalar into a dw (hi, lo) f32 pair."""
+    h = np.float32(x)
+    return h, np.float32(np.float64(x) - np.float64(h))
+
+
+def _dw_matmat(op, Xh, Xl, op_lo=None):
+    """Row-block dw matvec: vmap of the format dw matvec over the s rows."""
+    from ..ops.df32_linop import dw_matvec
+
+    return jax.vmap(lambda xh, xl: dw_matvec(op, xh, xl, op_lo=op_lo))(
+        Xh, Xl)
+
+
+def _dw_amap(op, Wh, Wl, cpair, epair, op_lo=None):
+    """Affine spectral map ``(A W - c W) / e`` in dw (rows convention)."""
+    from ..ops.df32 import dw_mul_fl, dw_sub, fast_two_sum, two_prod
+
+    Ah, Al = _dw_matmat(op, Wh, Wl, op_lo)
+    ch, cl = cpair
+    # c * W with c a dw scalar: two_prod against the hi limb + first-order
+    # cross terms (c_l * W_h + c_h * W_l), all O(u^2) accurate.
+    ph, pl = two_prod(Wh, ch)
+    ph, pl = fast_two_sum(ph, pl + (Wh * cl + Wl * ch))
+    Sh, Sl = dw_sub(Ah, Al, ph, pl)
+    eh, el = epair
+    qh, ql = dw_mul_fl(Sh, Sl, eh)
+    return fast_two_sum(qh, ql + Sh * el)
+
+
+@jax.jit
+def _dw_cheby_filter(op, Xh, Xl, ch_arr, cl_arr, cpair, epair, op_lo=None):
+    """Jackson-Chebyshev filter application in double-word arithmetic
+    (the dw mirror of :func:`cheby_filter`; static trip count)."""
+    from ..ops.df32 import dw_add, dw_sub, fast_two_sum, two_prod
+
+    N = int(ch_arr.shape[0]) - 1
+
+    def cmul(j, Wh, Wl):  # coeffs[j] * W, coeff a dw scalar
+        ph, pl = two_prod(Wh, ch_arr[j])
+        return fast_two_sum(ph, pl + (Wh * cl_arr[j] + Wl * ch_arr[j]))
+
+    T0 = (Xh, Xl)
+    T1 = _dw_amap(op, Xh, Xl, cpair, epair, op_lo)
+    Yh, Yl = dw_add(*cmul(0, *T0), *cmul(1, *T1))
+
+    def body(j, carry):
+        (Tm1h, Tm1l), (Th, Tl), (Yh, Yl) = carry
+        Uh, Ul = _dw_amap(op, Th, Tl, cpair, epair, op_lo)
+        # doubling is exact in binary fp
+        Tnh, Tnl = dw_sub(2.0 * Uh, 2.0 * Ul, Tm1h, Tm1l)
+        Yh, Yl = dw_add(Yh, Yl, *cmul(j, Tnh, Tnl))
+        return ((Th, Tl), (Tnh, Tnl), (Yh, Yl))
+
+    carry = (T0, T1, (Yh, Yl))
+    if N >= 2:
+        carry = lax.fori_loop(2, N + 1, body, carry)
+    return carry[2]
+
+
+@jax.jit
+def _dw_gram(Xh, Xl, Yh, Yl):
+    """``G_ij = <X_i, Y_j>`` in dw; returns (s, s) limb pairs.  Sequential
+    ``lax.map`` over rows keeps temporaries at (s, n) — a vmap here would
+    materialize (s, s, n)."""
+    from ..ops.df32 import dw_dot
+
+    return lax.map(
+        lambda t: dw_dot(t[0][None, :], t[1][None, :], Yh, Yl, axis=-1),
+        (Xh, Xl))
+
+
+@jax.jit
+def _dw_rotate(Ch_, Cl_, Xh, Xl):
+    """``Y = C @ X`` with C a host-f64 (k, s) matrix shipped as dw limb
+    pairs and X dw rows (s, n): compensated accumulation over the s terms
+    (a plain f32 gemm would reintroduce u_f32-level subspace noise)."""
+    from ..ops.df32 import dw_add, fast_two_sum, two_prod
+
+    k, s = Ch_.shape
+    n = Xh.shape[1]
+    Yh = jnp.zeros((k, n), jnp.float32)
+    Yl = jnp.zeros((k, n), jnp.float32)
+
+    def body(j, carry):
+        Yh, Yl = carry
+        ch = Ch_[:, j][:, None]
+        cl = Cl_[:, j][:, None]
+        ph, pl = two_prod(Xh[j][None, :], ch)
+        ph, pl = fast_two_sum(ph, pl + (Xh[j][None, :] * cl
+                                        + Xl[j][None, :] * ch))
+        return dw_add(Yh, Yl, ph, pl)
+
+    return lax.fori_loop(0, s, body, (Yh, Yl))
+
+
+@jax.jit
+def _dw_residual_norms(AXh, AXl, Xh, Xl, th, tl):
+    """Row norms of ``A V - theta V`` in dw (theta as dw (s,) pairs)."""
+    from ..ops.df32 import dw_norm, dw_sub, fast_two_sum, two_prod
+
+    ph, pl = two_prod(Xh, th[:, None])
+    ph, pl = fast_two_sum(ph, pl + (Xh * tl[:, None] + Xl * th[:, None]))
+    Rh, Rl = dw_sub(AXh, AXl, ph, pl)
+    nh, _ = dw_norm(Rh, Rl, axis=1)
+    return nh
+
+
+def _refine_filtered_dw(op32, op_lo, X32, *, a, b, lmin, lmax, degree, tol,
+                        scale, nev, history, max_sweeps=8):
+    """Continue a converged-f32 filtered subspace to ``tol`` in dw.
+
+    Per sweep: one dw filter application, dw Gram + host-f64 Cholesky
+    orthonormalization, dw Rayleigh-Ritz against the TRUE matrix
+    (``op32 + op_lo``), dw residual norms.  Returns host-f64 ``theta`` and
+    ``res`` plus the DEVICE-resident limb pair ``(Xh, Xl)`` of the final
+    Ritz rows — the caller slices the wanted rows before any transfer.
+    """
+    import scipy.linalg as sla
+
+    from ..ops.df32 import dw_from_f64, dw_to_f64
+
+    s = X32.shape[0]
+    coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, degree)
+    ch_arr, cl_arr = dw_from_f64(coeffs)
+    cpair = _dw_scalar(0.5 * (lmax + lmin))
+    epair = _dw_scalar(2.0 / (lmax - lmin))
+    center = 0.5 * (a + b)
+
+    Xh = jnp.asarray(X32, jnp.float32)
+    Xl = jnp.zeros_like(Xh)
+    matvecs = 0
+    for sweep in range(int(max_sweeps)):
+        Xh, Xl = _dw_cheby_filter(op32, Xh, Xl, ch_arr, cl_arr, cpair,
+                                  epair, op_lo)
+        matvecs += degree * s
+        Gh, Gl = _dw_gram(Xh, Xl, Xh, Xl)
+        G = dw_to_f64(np.asarray(Gh), np.asarray(Gl))
+        L = np.linalg.cholesky(0.5 * (G + G.T))
+        C = sla.solve_triangular(L, np.eye(s), lower=True)
+        Xh, Xl = _dw_rotate(*dw_from_f64(C), Xh, Xl)
+        AXh, AXl = _dw_matmat(op32, Xh, Xl, op_lo)
+        matvecs += s
+        Sh, Sl = _dw_gram(Xh, Xl, AXh, AXl)
+        S = dw_to_f64(np.asarray(Sh), np.asarray(Sl))
+        theta, U = np.linalg.eigh(0.5 * (S + S.T))
+        Uth, Utl = dw_from_f64(U.T)
+        Xh, Xl = _dw_rotate(Uth, Utl, Xh, Xl)
+        AXh, AXl = _dw_rotate(Uth, Utl, AXh, AXl)
+        th, tl = dw_from_f64(theta)
+        res = np.asarray(_dw_residual_norms(AXh, AXl, Xh, Xl, th, tl),
+                         np.float64)
+        inside = np.nonzero((theta >= a) & (theta <= b))[0]
+        pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
+        history.residual_trace.append(
+            float(res[pick].max() / scale) if pick.size else np.inf)
+        if pick.size >= nev and np.all(res[pick] <= tol * scale):
+            break
+    else:
+        raise RuntimeError("Has not converged !")
+
+    return theta, (Xh, Xl), res, sweep + 1, matvecs

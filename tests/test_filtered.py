@@ -163,3 +163,52 @@ class TestEigshFiltered:
             eigsh_filtered(L, 2, (10.0, 12.0), dtype=np.float64)  # outside
         with pytest.raises(AssertionError):
             eigsh_filtered(L, 2, (-1.0, -1.0), dtype=np.float64)  # empty
+
+
+class TestFilteredDwRefine:
+    """Double-word continuation of the filtered solver (the interior analog
+    of solvers/refine.py): 1e-8-grade residuals against the TRUE f64
+    matrix from the f32 work dtype."""
+
+    def test_laplace_f32_to_1e9(self):
+        n = 200
+        L = laplace(n).tocsr()
+        vals, vecs, hist = eigsh_filtered(
+            L, 4, (-2.2, -1.8), tol=1e-9, dtype=np.float32,
+            key=jax.random.key(0))
+        assert vecs.dtype == np.float64
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 4.0 * 1e-9, res.max()
+        full = np.sort(laplace_eigen(n))
+        w = full[(full >= -2.2) & (full <= -1.8)]
+        dist = np.abs(vals[:, None] - w[None, :]).min(axis=1)
+        assert dist.max() < 1e-12, dist.max()
+
+    def test_dense_operator_refine(self):
+        # dense format exercises dense_matvec_dw + the cast-residual path
+        rng = np.random.default_rng(8)
+        n = 96
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(-3.0, 3.0, n)
+        A = ((Q * lam) @ Q.T).astype(np.float64)
+        vals, vecs, _ = eigsh_filtered(
+            A, 3, (-0.3, 0.3), tol=1e-9, dtype=np.float32,
+            key=jax.random.key(1))
+        res = np.linalg.norm(A @ vecs - vals * vecs, axis=0)
+        assert res.max() < 3.0 * 3e-9, res.max()
+        dist = np.abs(vals[:, None] - lam[None, :]).min(axis=1)
+        assert dist.max() < 1e-11
+
+    def test_refine_none_stays_f32(self):
+        L = laplace(128).tocsr()
+        vals, vecs, _ = eigsh_filtered(
+            L, 3, (-2.2, -1.8), tol=3e-5, dtype=np.float32, refine=None,
+            key=jax.random.key(2))
+        # f32 phase only: residual floor well above the dw tier's
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 4 * 3e-5
+
+    def test_bad_refine_raises(self):
+        L = laplace(64).tocsr()
+        with pytest.raises(ValueError, match="refine"):
+            eigsh_filtered(L, 2, (-2.2, -1.8), refine="bogus")
