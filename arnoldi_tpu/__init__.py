@@ -22,7 +22,7 @@ from .solvers.spectral_transform import (
     shift_invert_operator,
 )
 from .solvers.svd import svds
-from .solvers.filtered import eigsh_filtered
+from .solvers.filtered import eigsh_filtered, eigsh_window
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
     History,
@@ -45,6 +45,7 @@ __all__ = [
     "eigs",
     "eigsh",
     "eigsh_filtered",
+    "eigsh_window",
     "svds",
     "shift_invert_operator",
     "generalized_operator",

@@ -34,6 +34,7 @@ from ..utils.history import History
 
 __all__ = [
     "eigsh_filtered",
+    "eigsh_window",
     "estimate_window_count",
     "spectrum_bounds",
     "jackson_cheby_coeffs",
@@ -236,6 +237,14 @@ def eigsh_filtered(
 
     Parameters
     ----------
+    nev : how many pairs (nearest the window center); ``None`` means ALL
+        pairs inside the window ("spectrum slice" mode, used by
+        :func:`eigsh_window`): the subspace is sized at 2x the stochastic
+        count, and convergence requires every inside pair at ``tol`` with
+        the inside count stable across two consecutive sweeps.  Statistical
+        caveat: completeness rests on the KPM count (an in-window pair can
+        be missed if the count underestimates badly — the 2x oversampling
+        plus the stability test make this unlikely, not impossible).
     interval : the wanted window ``(a, b)`` in eigenvalue space.
     degree : Chebyshev degree of the filter; default scales with the ratio
         of the spectrum width to the window width (wider spectra / narrower
@@ -302,21 +311,27 @@ def eigsh_filtered(
         degree = int(min(max(8.0 * (lmax - lmin) / (b_m - a_m), 16), 2000))
     coeffs = jackson_cheby_coeffs(a_m, b_m, lmin, lmax, degree)
 
+    all_inside = nev is None
     matvecs = 0
     if subspace is not None:
         s = int(subspace)
     else:
         # Size the subspace from the in-window eigenvalue count: 1.5x
         # oversampling + margin (both the estimator noise and the
-        # straddling neighbors want headroom).
+        # straddling neighbors want headroom); 2x in all-inside mode,
+        # where missing a tail pair is a completeness failure rather
+        # than a few extra sweeps.
         cdeg = int(min(degree, 150))
         probes = 8
         count = estimate_window_count(
             op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg,
             probes=probes, key=kz)
         matvecs += probes * (cdeg + 1)
-        s = max(nev + 6, int(np.ceil(1.5 * max(count, 0.0))) + 6)
-    s = min(max(s, nev), n)
+        over = 2.0 if all_inside else 1.5
+        base = 6 if not all_inside else 8
+        s = max((nev or 0) + 6,
+                int(np.ceil(over * max(count, 0.0))) + base)
+    s = min(max(s, nev or 1), n)
     if tol is None:
         tol = float(np.sqrt(np.finfo(wdtype).eps))
     scale = max(abs(lmin), abs(lmax))
@@ -345,8 +360,9 @@ def eigsh_filtered(
     X = jax.random.normal(kx, (s, n), dtype=wdtype)
     X = _cholqr2(X)
 
-    history = History.from_k(nev)
+    history = History.from_k(nev or 1)
     center = 0.5 * (a + b)
+    prev_inside = -1
     for sweep in range(int(max_iters)):
         X, theta, res = _filter_rr_step(op, X, coeffs, lmin, lmax)
         matvecs += (degree + 1) * s
@@ -354,14 +370,27 @@ def eigsh_filtered(
         res_h = np.asarray(res, np.float64)
         inside = np.nonzero((theta_h >= a) & (theta_h <= b))[0]
         # The break test checks EXACTLY the pairs that would be returned:
-        # the nev nearest-center inside the window.  Testing "any nev
-        # converged inside" instead lets a transient Ritz ghost (an
-        # unconverged subspace direction whose Rayleigh quotient lands in
-        # the window) displace the true nearest pairs at the break sweep.
-        pick = inside[np.argsort(np.abs(theta_h[inside] - center))[:nev]]
+        # the nev nearest-center inside the window (or all inside pairs in
+        # slice mode).  Testing "any nev converged inside" instead lets a
+        # transient Ritz ghost (an unconverged subspace direction whose
+        # Rayleigh quotient lands in the window) displace the true nearest
+        # pairs at the break sweep.
+        if all_inside:
+            pick = inside
+        else:
+            pick = inside[np.argsort(np.abs(theta_h[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res_h[pick].max() / scale) if pick.size else np.inf)
-        if pick.size >= nev and np.all(res_h[pick] <= tol * scale):
+        if all_inside:
+            # every inside pair converged AND the inside count stable over
+            # two consecutive sweeps (a pair still drifting into the window
+            # means the subspace hasn't settled; an empty stable window is
+            # a valid result).
+            if (inside.size == prev_inside
+                    and np.all(res_h[pick] <= tol * scale)):
+                break
+            prev_inside = inside.size
+        elif pick.size >= nev and np.all(res_h[pick] <= tol * scale):
             break
     else:
         raise RuntimeError("Has not converged !")
@@ -381,26 +410,44 @@ def eigsh_filtered(
         matvecs += r_mv
         n_sweeps += r_sweeps
         inside = np.nonzero((theta_r >= a) & (theta_r <= b))[0]
-        pick = inside[np.argsort(np.abs(theta_r[inside] - center))[:nev]]
+        if all_inside:
+            pick = inside
+        else:
+            pick = inside[np.argsort(np.abs(theta_r[inside] - center))[:nev]]
         pick = pick[np.argsort(theta_r[pick])]  # scipy-ascending
         # Transfer ONLY the picked rows (both limbs): through a remote
         # tunnel the full (s, n) workspace pull dominates wall time (see
         # the refine.py output path).
-        idx = jnp.asarray(pick)
-        vals = theta_r[pick]
-        vecs = dw_to_f64(np.asarray(Xh_r[idx]), np.asarray(Xl_r[idx])).T
-        history.total = matvecs
-        history.matvecs[:] = matvecs
-        history.restarts[:] = n_sweeps
-        return vals, vecs, history
+        if pick.size:
+            idx = jnp.asarray(pick)
+            vals = theta_r[pick]
+            vecs = dw_to_f64(np.asarray(Xh_r[idx]), np.asarray(Xl_r[idx])).T
+        else:
+            vals = np.empty(0)
+            vecs = np.empty((n, 0))
+        return vals, vecs, _finalize_history(history, all_inside,
+                                             len(vals), matvecs, n_sweeps)
 
     pick = pick[np.argsort(theta_h[pick])]  # scipy-ascending
     vals = theta_h[pick]
-    vecs = np.asarray(X, np.float64)[pick].T
+    # device-side row gather first: transfer only the wanted rows
+    vecs = (np.asarray(X[jnp.asarray(pick)], np.float64).T if pick.size
+            else np.empty((n, 0)))
+    return vals, vecs, _finalize_history(history, all_inside, len(vals),
+                                         matvecs, n_sweeps)
+
+
+def _finalize_history(history, all_inside, n_found, matvecs, n_sweeps):
+    if all_inside and n_found != history.k:
+        # all-inside mode: k is only known now.
+        h2 = History.from_k(max(n_found, 1))
+        h2.residual_trace = history.residual_trace
+        h2.phases = history.phases
+        history = h2
     history.total = matvecs
     history.matvecs[:] = matvecs
     history.restarts[:] = n_sweeps
-    return vals, vecs, history
+    return history
 
 
 # ---------------------------------------------------------------------------
@@ -571,12 +618,134 @@ def _refine_filtered_dw(op32, op_lo, X32, *, a, b, lmin, lmax, degree, tol,
         res = np.asarray(_dw_residual_norms(AXh, AXl, Xh, Xl, th, tl),
                          np.float64)
         inside = np.nonzero((theta >= a) & (theta <= b))[0]
-        pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
+        if nev is None:  # all-inside (spectrum-slice) mode
+            pick = inside
+        else:
+            pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res[pick].max() / scale) if pick.size else np.inf)
-        if pick.size >= nev and np.all(res[pick] <= tol * scale):
+        if (pick.size >= (nev or 0)
+                and np.all(res[pick] <= tol * scale)):
             break
     else:
         raise RuntimeError("Has not converged !")
 
     return theta, (Xh, Xl), res, sweep + 1, matvecs
+
+
+def eigsh_window(
+    A,
+    interval,
+    *,
+    max_slice=40,
+    tol=None,
+    degree=None,
+    max_iters=200,
+    bounds=None,
+    bounds_dim=40,
+    dtype=None,
+    key=None,
+    refine="auto",
+):
+    """ALL eigenpairs of a HERMITIAN operator inside ``interval=(a, b)`` by
+    SPECTRUM SLICING (the EVSL workflow): a KPM count sizes the job, the
+    window is partitioned into sub-slices of at most ~``max_slice``
+    eigenvalues each (balanced by the estimated local density), and each
+    slice is solved independently by :func:`eigsh_filtered` in all-inside
+    mode.  Slices are disjoint half-open intervals, so the union needs no
+    deduplication; a final proximity merge guards the exactly-on-a-cut
+    edge case.
+
+    Slices are independent jobs — on a multi-chip mesh they are the
+    embarrassingly-parallel axis (one slice per chip); this driver runs
+    them sequentially on the current device.
+
+    Returns ``(vals, vecs, history)`` with vals ascending and one History
+    aggregating matvecs/sweeps across slices.  Completeness is statistical
+    in the KPM count (see :func:`eigsh_filtered`'s ``nev=None`` caveat).
+    """
+    op = as_operator(A, dtype=dtype)
+    a, b = float(interval[0]), float(interval[1])
+    assert a < b, f"empty interval {interval}"
+    if key is None:
+        key = jax.random.key(0)
+    kb, kz, ks = jax.random.split(key, 3)
+    if bounds is None:
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+    else:
+        lmin, lmax = float(bounds[0]), float(bounds[1])
+    a_m, b_m = max(a, lmin), min(b, lmax)
+    assert a_m < b_m, (
+        f"window [{a}, {b}] lies outside the spectral enclosure "
+        f"[{lmin}, {lmax}]")
+    scale = max(abs(lmin), abs(lmax))
+    wdtype = op.dtype
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(wdtype).eps))
+
+    # Partition by estimated local density: KPM counts on a uniform
+    # refinement grid give the cumulative distribution; cuts are placed at
+    # equal-count quantiles so every slice holds ~max_slice eigenvalues
+    # (a uniform-width split would overload high-density slices).
+    probes = 8
+    cdeg = 150
+    n_cells = 8
+    grid = np.linspace(a_m, b_m, n_cells + 1)
+    cell_counts = np.empty(n_cells)
+    mv_count = 0
+    for i in range(n_cells):
+        cell_counts[i] = max(estimate_window_count(
+            op, (grid[i], grid[i + 1]), bounds=(lmin, lmax), degree=cdeg,
+            probes=probes, key=jax.random.fold_in(kz, i)), 0.0)
+        mv_count += probes * (cdeg + 1)
+    total = float(cell_counts.sum())
+    if total < 0.5:
+        hist = History.from_k(1)
+        hist.total = mv_count
+        return np.empty(0), np.empty((op.shape[0], 0)), hist
+    n_slices = int(np.ceil(total / max_slice))
+    cum = np.concatenate([[0.0], np.cumsum(cell_counts)])
+    targets = np.linspace(0.0, total, n_slices + 1)
+    cuts = np.interp(targets, cum, grid)
+    cuts[0], cuts[-1] = a_m, b_m
+
+    all_vals, all_vecs = [], []
+    matvecs, sweeps = mv_count, 0
+    trace = []
+    for i in range(n_slices):
+        lo, hi = float(cuts[i]), float(cuts[i + 1])
+        if hi <= lo:
+            continue
+        vals_i, vecs_i, hist_i = eigsh_filtered(
+            A, None, (lo, hi), degree=degree, tol=tol,
+            max_iters=max_iters, bounds=(lmin, lmax), dtype=dtype,
+            key=jax.random.fold_in(ks, i), refine=refine)
+        matvecs += hist_i.total_matvecs
+        sweeps += int(hist_i.restarts.max()) if hist_i.restarts.size else 0
+        trace.extend(hist_i.residual_trace)
+        # half-open ownership [lo, hi) — the last slice keeps its right
+        # edge — so a pair converging in two adjacent slices is kept once.
+        own = (vals_i >= lo) & ((vals_i < hi) | (i == n_slices - 1))
+        all_vals.append(vals_i[own])
+        all_vecs.append(vecs_i[:, own])
+
+    vals = np.concatenate(all_vals) if all_vals else np.empty(0)
+    vecs = (np.concatenate(all_vecs, axis=1) if all_vecs
+            else np.empty((op.shape[0], 0)))
+    order = np.argsort(vals)
+    vals, vecs = vals[order], vecs[:, order]
+    # exactly-on-a-cut guard: merge value-coincident pairs whose vectors
+    # are parallel (same eigenpair found by both neighbors).
+    keep = np.ones(len(vals), bool)
+    for i in range(1, len(vals)):
+        if (vals[i] - vals[i - 1] <= 16 * tol * scale
+                and abs(np.vdot(vecs[:, i], vecs[:, i - 1])) > 0.9):
+            keep[i] = False
+    vals, vecs = vals[keep], vecs[:, keep]
+
+    history = History.from_k(max(len(vals), 1))
+    history.total = matvecs
+    history.matvecs[:] = matvecs
+    history.restarts[:] = sweeps
+    history.residual_trace = trace
+    return vals, vecs, history

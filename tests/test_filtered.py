@@ -10,7 +10,7 @@ import jax
 import numpy as np
 import pytest
 
-from arnoldi_tpu import eigsh, eigsh_filtered
+from arnoldi_tpu import eigsh, eigsh_filtered, eigsh_window
 from arnoldi_tpu.matrices import laplace, laplace_2d, laplace_eigen
 from arnoldi_tpu.solvers.filtered import (
     cheby_filter,
@@ -212,3 +212,59 @@ class TestFilteredDwRefine:
         L = laplace(64).tocsr()
         with pytest.raises(ValueError, match="refine"):
             eigsh_filtered(L, 2, (-2.2, -1.8), refine="bogus")
+
+
+class TestEigshWindow:
+    """Spectrum slicing: ALL eigenpairs inside a window (eigsh_window),
+    and eigsh_filtered's all-inside (nev=None) slice mode it builds on."""
+
+    def test_all_inside_mode(self):
+        n = 250
+        L = laplace(n).tocsr()
+        a, b = -2.2, -1.8
+        vals, vecs, hist = eigsh_filtered(
+            L, None, (a, b), tol=1e-10, dtype=np.float64,
+            key=jax.random.key(1))
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= a) & (full <= b)]
+        assert len(vals) == want.size
+        np.testing.assert_allclose(vals, want, atol=1e-9)
+        assert hist.matvecs.shape == (len(vals),)
+
+    def test_window_complete(self):
+        n = 400
+        L = laplace(n).tocsr()
+        a, b = -2.6, -1.4
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= a) & (full <= b)]  # 78 pairs -> 2 slices
+        vals, vecs, hist = eigsh_window(L, (a, b), tol=1e-10,
+                                        dtype=np.float64,
+                                        key=jax.random.key(0))
+        assert len(vals) == want.size, (len(vals), want.size)
+        np.testing.assert_allclose(vals, want, atol=1e-9)
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 1e-9
+        assert hist.total_matvecs > 0
+
+    def test_window_empty(self):
+        L = laplace(100).tocsr()  # spectrum in (-4, 0)
+        # enclosure covers the window but no eigenvalues live there
+        vals, vecs, _ = eigsh_window(L, (-3.9999, -3.999),
+                                     bounds=(-4.05, 0.05), tol=1e-9,
+                                     dtype=np.float64,
+                                     key=jax.random.key(2))
+        assert len(vals) == 0 and vecs.shape == (100, 0)
+
+    def test_window_f32_refined(self):
+        n = 200
+        L = laplace(n).tocsr()
+        a, b = -2.15, -1.95
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= a) & (full <= b)]
+        vals, vecs, _ = eigsh_window(L, (a, b), tol=1e-9,
+                                     dtype=np.float32,
+                                     key=jax.random.key(3))
+        assert len(vals) == want.size, (len(vals), want.size)
+        np.testing.assert_allclose(vals, want, atol=1e-8)
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 4 * 1e-8
