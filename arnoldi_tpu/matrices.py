@@ -112,6 +112,34 @@ def laplace_2d_eigen(nx, ny=None):
     return (ex[None, :] + ey[:, None]).ravel()
 
 
+def laplace_3d(nx, ny=None, nz=None, dtype=None):
+    """3-D seven-point Laplacian on an ``nx x ny x nz`` grid (Dirichlet).
+
+    The regime where shift-invert factorizations become infeasible
+    (bandwidth ``nx*ny`` makes sparse-LU fill explode) — the target
+    workload for the polynomial-filtered interior drivers
+    (:func:`arnoldi_tpu.eigsh_filtered` / :func:`arnoldi_tpu.eigsh_window`).
+    """
+    ny = ny or nx
+    nz = nz or nx
+    Ix, Iy, Iz = (sp.eye_array(m) for m in (nx, ny, nz))
+    lx, ly, lz = (laplace(m, dtype=dtype) for m in (nx, ny, nz))
+    return (sp.kron(Iz, sp.kron(Iy, lx))
+            + sp.kron(Iz, sp.kron(ly, Ix))
+            + sp.kron(lz, sp.kron(Iy, Ix))).tocsr()
+
+
+def laplace_3d_eigen(nx, ny=None, nz=None):
+    """Analytic spectrum of :func:`laplace_3d` (all ``nx*ny*nz`` values)."""
+    ny = ny or nx
+    nz = nz or nx
+    ex = laplace_eigen(nx)
+    ey = laplace_eigen(ny)
+    ez = laplace_eigen(nz)
+    return (ex[None, None, :] + ey[None, :, None]
+            + ez[:, None, None]).ravel()
+
+
 def load_suitesparse_mat(path, dtype=None):
     """Load a SuiteSparse collection ``.mat`` file to CSR.
 

@@ -307,8 +307,13 @@ def eigsh_filtered(
 
     if degree is None:
         # Sharper filters for narrower windows: the transition width of the
-        # damped expansion scales like (lmax - lmin) / N.
-        degree = int(min(max(8.0 * (lmax - lmin) / (b_m - a_m), 16), 2000))
+        # damped expansion scales like (lmax - lmin) / N, and MUST stay
+        # below the window width — a too-wide filter gives near-equal gain
+        # to the (possibly many more) eigenvalues in the transition band,
+        # and the subspace rotates away from the window entirely (measured:
+        # a 2000-degree cap on a width-0.02 window of the 512k 3-D
+        # Laplacian lost every in-window Ritz pair by sweep 2).
+        degree = int(min(max(8.0 * (lmax - lmin) / (b_m - a_m), 16), 40000))
     coeffs = jackson_cheby_coeffs(a_m, b_m, lmin, lmax, degree)
 
     all_inside = nev is None
@@ -321,7 +326,11 @@ def eigsh_filtered(
         # straddling neighbors want headroom); 2x in all-inside mode,
         # where missing a tail pair is a completeness failure rather
         # than a few extra sweeps.
-        cdeg = int(min(degree, 150))
+        # The count kernel must also resolve the window: keep its smoothing
+        # width (~spread/degree) at or below half the window width, floor
+        # 150.
+        cdeg = int(min(degree,
+                       max(150, 2.0 * (lmax - lmin) / (b_m - a_m))))
         probes = 8
         count = estimate_window_count(
             op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg,
@@ -332,6 +341,7 @@ def eigsh_filtered(
         s = max((nev or 0) + 6,
                 int(np.ceil(over * max(count, 0.0))) + base)
     s = min(max(s, nev or 1), n)
+    expected = count if subspace is None else None
     if tol is None:
         tol = float(np.sqrt(np.finfo(wdtype).eps))
     scale = max(abs(lmin), abs(lmax))
@@ -384,9 +394,14 @@ def eigsh_filtered(
         if all_inside:
             # every inside pair converged AND the inside count stable over
             # two consecutive sweeps (a pair still drifting into the window
-            # means the subspace hasn't settled; an empty stable window is
-            # a valid result).
+            # means the subspace hasn't settled).  An empty stable window
+            # is a valid result ONLY when the KPM count agrees the window
+            # is empty — an inside-count collapse with a populated count
+            # means the subspace rotated away from the window (filter too
+            # wide / enclosure trouble) and must not read as success.
+            empty_ok = expected is None or expected < 1.0
             if (inside.size == prev_inside
+                    and (inside.size > 0 or empty_ok)
                     and np.all(res_h[pick] <= tol * scale)):
                 break
             prev_inside = inside.size

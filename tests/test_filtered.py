@@ -268,3 +268,19 @@ class TestEigshWindow:
         np.testing.assert_allclose(vals, want, atol=1e-8)
         res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
         assert res.max() < 4 * 1e-8
+
+    def test_3d_interior(self):
+        # the target workload: 3-D stencil where shift-invert fill-in
+        # explodes; polynomial filtering needs only matvecs.
+        from arnoldi_tpu.matrices import laplace_3d, laplace_3d_eigen
+
+        L = laplace_3d(16)  # n = 4096
+        full = np.sort(laplace_3d_eigen(16))
+        a, b = -11.0, -10.7
+        want = full[(full >= a) & (full <= b)]
+        assert want.size > 5
+        vals, vecs, _ = eigsh_window(L, (a, b), tol=1e-10,
+                                     dtype=np.float64,
+                                     key=jax.random.key(6))
+        assert len(vals) == want.size, (len(vals), want.size)
+        np.testing.assert_allclose(vals, want, atol=1e-9)

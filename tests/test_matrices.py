@@ -77,3 +77,16 @@ class TestLaplace:
         d = A.todense()
         np.testing.assert_allclose(np.diag(d), -4.0)
         np.testing.assert_allclose(d, d.T)
+
+
+def test_laplace_3d_golden():
+    from arnoldi_tpu.matrices import laplace_3d, laplace_3d_eigen
+
+    A = laplace_3d(7)
+    w = np.linalg.eigvalsh(np.asarray(A.todense()))
+    np.testing.assert_allclose(np.sort(laplace_3d_eigen(7)), w, atol=1e-10)
+    B = laplace_3d(3, 4, 5)
+    assert B.shape == (60, 60)
+    wb = np.linalg.eigvalsh(np.asarray(B.todense()))
+    np.testing.assert_allclose(np.sort(laplace_3d_eigen(3, 4, 5)), wb,
+                               atol=1e-10)
