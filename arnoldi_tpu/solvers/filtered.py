@@ -44,7 +44,7 @@ __all__ = [
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def spectrum_bounds(A, m=40, *, key=None, dtype=None):
+def spectrum_bounds(A, m=40, *, key=None, dtype=None, mesh=None):
     """Safe enclosure ``[lmin, lmax]`` of a Hermitian operator's spectrum
     from one ``m``-step Lanczos run.
 
@@ -66,6 +66,10 @@ def spectrum_bounds(A, m=40, *, key=None, dtype=None):
     v0 = rand_normalized_vector(key, n, wdtype)
     Vt = jnp.zeros((m + 1, n), wdtype).at[0].set(v0)
     H = jnp.zeros((m + 1, m), wdtype)
+    if mesh is not None:
+        from ..parallel.sharded import shard_workspace
+
+        Vt, H = shard_workspace(Vt, H, mesh)
     Vt, H, n_iter = arnoldi_expand(op, Vt, H, max_dim=m)
     k = int(n_iter)
     Hk = np.asarray(H, dtype=np.float64)[:k, :k]
@@ -172,7 +176,7 @@ def _kpm_count(op, Z, coeffs, lmin, lmax):
 
 
 def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
-                          key=None, dtype=None, bounds_dim=40):
+                          key=None, dtype=None, bounds_dim=40, mesh=None):
     """Stochastic estimate of the NUMBER of eigenvalues of a Hermitian
     operator inside ``interval`` (the kernel-polynomial-method trace
     estimator: ``tr(1_{[a,b]}(A)) ~ mean_z z^T p(A) z`` over Rademacher
@@ -187,7 +191,7 @@ def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
         key = jax.random.key(1)
     kb, kz = jax.random.split(key)
     if bounds is None:
-        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
     else:
         lmin, lmax = float(bounds[0]), float(bounds[1])
     a = max(float(interval[0]), lmin)
@@ -195,6 +199,11 @@ def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
     assert a < b, (interval, (lmin, lmax))
     coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, degree)
     Z = jax.random.rademacher(kz, (int(probes), n), dtype=wdtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        Z = jax.device_put(Z, NamedSharding(
+            mesh, PartitionSpec(None, mesh.axis_names[0])))
     return float(_kpm_count(op, Z, jnp.asarray(coeffs, wdtype), lmin, lmax))
 
 
@@ -229,6 +238,7 @@ def eigsh_filtered(
     dtype=None,
     key=None,
     refine="auto",
+    mesh=None,
 ):
     """``nev`` eigenpairs of a HERMITIAN operator inside ``interval=(a, b)``
     by Chebyshev-filtered subspace iteration — interior spectrum WITHOUT
@@ -268,6 +278,10 @@ def eigsh_filtered(
         ``tol`` against the TRUE matrix (1e-8-grade interior residuals on
         the f64-free device; outputs come back float64).  "dw" forces it,
         None disables.
+    mesh : optional 1-D device mesh — the operator's rows, the subspace
+        block, and every filter sweep (coarse AND dw) are GSPMD-partitioned
+        over it; the operator size must divide the mesh
+        (:func:`arnoldi_tpu.linop.pad_operator` first otherwise).
 
     Returns
     -------
@@ -291,12 +305,20 @@ def eigsh_filtered(
     a, b = float(interval[0]), float(interval[1])
     assert a < b, f"empty interval {interval}"
 
+    if mesh is not None:
+        from ..parallel.sharded import shard_operator
+
+        assert n % int(mesh.devices.size) == 0, (
+            f"n={n} does not divide the {mesh.devices.size}-device mesh; "
+            "pad_operator first")
+        op = shard_operator(op, mesh)
+
     if key is None:
         key = jax.random.key(0)
     kb, kx, kz = jax.random.split(key, 3)
 
     if bounds is None:
-        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
     else:
         lmin, lmax = float(bounds[0]), float(bounds[1])
     # The window must be inside the enclosure for the arccos map.
@@ -334,7 +356,7 @@ def eigsh_filtered(
         probes = 8
         count = estimate_window_count(
             op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg,
-            probes=probes, key=kz)
+            probes=probes, key=kz, mesh=mesh)
         matvecs += probes * (cdeg + 1)
         over = 2.0 if all_inside else 1.5
         base = 6 if not all_inside else 8
@@ -368,6 +390,11 @@ def eigsh_filtered(
         tol = max(tol, 1e-5)
 
     X = jax.random.normal(kx, (s, n), dtype=wdtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        X = jax.device_put(X, NamedSharding(
+            mesh, PartitionSpec(None, mesh.axis_names[0])))
     X = _cholqr2(X)
 
     history = History.from_k(nev or 1)
@@ -414,8 +441,12 @@ def eigsh_filtered(
     if do_refine:
         from .refine import build_cast_residual_operator, cast_operator_f32
 
-        op32 = cast_operator_f32(op)
+        op32 = cast_operator_f32(op)  # sharding-preserving (astype)
         op_lo = build_cast_residual_operator(A, op32)
+        if mesh is not None and op_lo is not None:
+            from ..parallel.sharded import shard_operator
+
+            op_lo = shard_operator(op_lo, mesh)
         from ..ops.df32 import dw_to_f64
 
         theta_r, (Xh_r, Xl_r), res_r, r_sweeps, r_mv = _refine_filtered_dw(
@@ -661,6 +692,7 @@ def eigsh_window(
     dtype=None,
     key=None,
     refine="auto",
+    mesh=None,
 ):
     """ALL eigenpairs of a HERMITIAN operator inside ``interval=(a, b)`` by
     SPECTRUM SLICING (the EVSL workflow): a KPM count sizes the job, the
@@ -685,8 +717,14 @@ def eigsh_window(
     if key is None:
         key = jax.random.key(0)
     kb, kz, ks = jax.random.split(key, 3)
+    if mesh is not None:
+        from ..parallel.sharded import shard_operator
+
+        assert op.shape[0] % int(mesh.devices.size) == 0, (
+            "pad_operator to the mesh first")
+        op = shard_operator(op, mesh)
     if bounds is None:
-        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb)
+        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
     else:
         lmin, lmax = float(bounds[0]), float(bounds[1])
     a_m, b_m = max(a, lmin), min(b, lmax)
@@ -703,15 +741,17 @@ def eigsh_window(
     # equal-count quantiles so every slice holds ~max_slice eigenvalues
     # (a uniform-width split would overload high-density slices).
     probes = 8
-    cdeg = 150
     n_cells = 8
+    # the count kernel must resolve a CELL (width (b-a)/n_cells)
+    cdeg = int(min(max(150, 2.0 * (lmax - lmin) * n_cells / (b_m - a_m)),
+                   8000))
     grid = np.linspace(a_m, b_m, n_cells + 1)
     cell_counts = np.empty(n_cells)
     mv_count = 0
     for i in range(n_cells):
         cell_counts[i] = max(estimate_window_count(
             op, (grid[i], grid[i + 1]), bounds=(lmin, lmax), degree=cdeg,
-            probes=probes, key=jax.random.fold_in(kz, i)), 0.0)
+            probes=probes, key=jax.random.fold_in(kz, i), mesh=mesh), 0.0)
         mv_count += probes * (cdeg + 1)
     total = float(cell_counts.sum())
     if total < 0.5:
@@ -734,7 +774,7 @@ def eigsh_window(
         vals_i, vecs_i, hist_i = eigsh_filtered(
             A, None, (lo, hi), degree=degree, tol=tol,
             max_iters=max_iters, bounds=(lmin, lmax), dtype=dtype,
-            key=jax.random.fold_in(ks, i), refine=refine)
+            key=jax.random.fold_in(ks, i), refine=refine, mesh=mesh)
         matvecs += hist_i.total_matvecs
         sweeps += int(hist_i.restarts.max()) if hist_i.restarts.size else 0
         trace.extend(hist_i.residual_trace)

@@ -247,9 +247,9 @@ class TestEigshWindow:
         assert hist.total_matvecs > 0
 
     def test_window_empty(self):
-        L = laplace(100).tocsr()  # spectrum in (-4, 0)
+        L = laplace(100).tocsr()  # spectrum min is -3.999033
         # enclosure covers the window but no eigenvalues live there
-        vals, vecs, _ = eigsh_window(L, (-3.9999, -3.999),
+        vals, vecs, _ = eigsh_window(L, (-4.04, -3.9995),
                                      bounds=(-4.05, 0.05), tol=1e-9,
                                      dtype=np.float64,
                                      key=jax.random.key(2))
@@ -283,4 +283,50 @@ class TestEigshWindow:
                                      dtype=np.float64,
                                      key=jax.random.key(6))
         assert len(vals) == want.size, (len(vals), want.size)
+        np.testing.assert_allclose(vals, want, atol=1e-9)
+
+
+class TestFilteredMesh:
+    """GSPMD-distributed filtered solve: rows of the operator and subspace
+    partitioned over a device mesh (coarse and dw sweeps both)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from arnoldi_tpu.parallel import make_mesh
+
+        assert len(jax.devices()) >= 8
+        return make_mesh(8)
+
+    def test_matches_single_device(self, mesh):
+        n = 256
+        L = laplace(n).tocsr()
+        a, b = -2.2, -1.8
+        ref, _, _ = eigsh_filtered(L, 4, (a, b), tol=1e-10,
+                                   dtype=np.float64, key=jax.random.key(0))
+        vals, vecs, _ = eigsh_filtered(L, 4, (a, b), tol=1e-10,
+                                       dtype=np.float64,
+                                       key=jax.random.key(0), mesh=mesh)
+        np.testing.assert_allclose(vals, ref, atol=1e-9)
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 1e-9
+
+    def test_mesh_f32_dw_refine(self, mesh):
+        n = 256
+        L = laplace(n).tocsr()
+        vals, vecs, _ = eigsh_filtered(L, 3, (-2.2, -1.8), tol=1e-9,
+                                       dtype=np.float32,
+                                       key=jax.random.key(1), mesh=mesh)
+        res = np.linalg.norm(L @ vecs - vals * vecs, axis=0)
+        assert res.max() < 4e-9, res.max()
+
+    def test_mesh_window(self, mesh):
+        n = 256
+        L = laplace(n).tocsr()
+        a, b = -2.15, -1.95
+        full = np.sort(laplace_eigen(n))
+        want = full[(full >= a) & (full <= b)]
+        vals, vecs, _ = eigsh_window(L, (a, b), tol=1e-10,
+                                     dtype=np.float64,
+                                     key=jax.random.key(2), mesh=mesh)
+        assert len(vals) == want.size
         np.testing.assert_allclose(vals, want, atol=1e-9)
