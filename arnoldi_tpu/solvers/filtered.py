@@ -19,9 +19,15 @@ Methods for Large Eigenvalue Problems" ch. 7; the EVSL / ChASE design):
   small host ``eigh`` — no factorization, no inner solves, no
   data-dependent shapes.
 
-Everything device-side is one jitted dispatch per outer iteration; the
-host only checks convergence.
+All (s, n) work is jitted device dispatches; the tiny (s, s)
+factorizations (Cholesky, eigh) happen on the HOST in float64 — see
+``_host_whiten`` for the measured reason the device f32 factorizations
+cannot be trusted on filtered Grams.
 """
+
+import os
+import sys
+import time
 
 import numpy as np
 
@@ -120,6 +126,34 @@ def jackson_cheby_coeffs(a, b, lmin, lmax, degree):
     return coeffs * g
 
 
+def _edge_sine(a, b, lmin, lmax):
+    """Local Chebyshev resolution factor ``max(sqrt(1 - t^2))`` over the
+    window edges mapped to the Chebyshev variable ``t``.
+
+    Chebyshev nodes crowd toward the ends of the spectral interval, so a
+    degree-``N`` damped indicator resolves a transition of half-width
+    ``~2.5 (lmax - lmin) sin(theta) / N`` at local geometry ``sin(theta) =
+    sqrt(1 - t^2)`` (measured on the Jackson expansion: the g=0.1..0.9 rise
+    spans 1.0-1.3x this).  Near-edge windows therefore need a FAR lower
+    degree than the naive ``spread / width`` scaling — 5.5x measured for
+    the 3-D Laplacian band edge at sin(theta) = 0.17.
+    """
+    c = 0.5 * (lmax + lmin)
+    e = 0.5 * (lmax - lmin)
+    s = 0.0
+    for x in (a, b):
+        t = min(max((x - c) / e, -1.0), 1.0)
+        s = max(s, float(np.sqrt(max(1.0 - t * t, 0.0))))
+    return max(s, 0.01)
+
+
+def _auto_degree(lmin, lmax, sin_eff, delta_half, cap=40000):
+    """Smallest degree whose damped-indicator transition half-width is
+    ``delta_half`` at local edge geometry ``sin_eff`` (see _edge_sine)."""
+    N = 2.5 * (lmax - lmin) * sin_eff / max(delta_half, 1e-300)
+    return int(min(max(N, 16), cap))
+
+
 def cheby_filter(op, X, coeffs, lmin, lmax):
     """Apply the Chebyshev filter ``p(A)`` to the row-block ``X`` ``(s, n)``.
 
@@ -207,21 +241,118 @@ def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
     return float(_kpm_count(op, Z, jnp.asarray(coeffs, wdtype), lmin, lmax))
 
 
+def _host_whiten(G):
+    """float64 inverse-Cholesky factor ``C`` (``C G C^T ~ I``) of a device
+    (s, s) Gram, with an escalating diagonal shift.
+
+    Small-matrix factorizations live on the HOST in float64.  Measured
+    reason: the XLA TPU Cholesky expansion runs its internal trailing
+    updates at default (bf16-pass) matmul precision, and a filtered Gram
+    has numerical rank < s (filter gains span many decades), so its pivots
+    go negative and the factor comes back NaN — observed on a Gram whose
+    exact (f64) eigenvalues were all >= -2.6e-6 relative to the largest,
+    i.e. far inside what a faithful f32 factorization handles.  An (s, s)
+    host factor costs microseconds plus one s^2-float transfer, ~1% of a
+    degree-N filter sweep.
+    """
+    import scipy.linalg as sla
+
+    Gh = np.asarray(G, np.float64)
+    Gh = 0.5 * (Gh + Gh.T)
+    s = Gh.shape[0]
+    d = max(float(np.abs(Gh.diagonal()).max()), np.finfo(np.float64).tiny)
+    eye = np.eye(s)
+    # G carries the f32 gemm's rounding (measured eigenvalue floor ~ -3e-6
+    # relative at n=262k), so escalate the shift until SPD.
+    for shift in (0.0, 1e-9, 1e-6, 1e-4, 1e-2):
+        try:
+            L = np.linalg.cholesky(Gh + (shift * d) * eye)
+            return sla.solve_triangular(L, eye, lower=True)
+        except np.linalg.LinAlgError:
+            continue
+    w, W = np.linalg.eigh(Gh)  # last resort: eigh whitening with a floor
+    w = np.maximum(w, 1e-12 * d)
+    return (W / np.sqrt(w)).T
+
+
 @jax.jit
-def _filter_rr_step(op, X, coeffs, lmin, lmax):
-    """One filtered subspace iteration: filter, orthonormalize,
-    Rayleigh-Ritz on A, residual norms.  Single device dispatch (operators
-    are registered pytrees, so ``op`` rides through jit as data)."""
+def _filter_gram(op, X, coeffs, lmin, lmax):
     Y = cheby_filter(op, X, coeffs, lmin, lmax)
-    Q = _cholqr2(Y)
+    return Y, jnp.matmul(Y, Y.T, precision=_PREC)
+
+
+@jax.jit
+def _factor_gram(C, Y):
+    Q = jnp.matmul(C, Y, precision=_PREC)
+    return Q, jnp.matmul(Q, Q.T, precision=_PREC)
+
+
+@jax.jit
+def _factor_rr(C, Q1, op):
+    Q = jnp.matmul(C, Q1, precision=_PREC)
     AQ = op.matmat(Q.T).T                              # (s, n)
-    S = jnp.matmul(Q, AQ.T, precision=_PREC)           # (s, s)
-    theta, U = jnp.linalg.eigh(0.5 * (S + S.T))
-    V = jnp.matmul(U.T, Q, precision=_PREC)            # Ritz rows
-    AV = jnp.matmul(U.T, AQ, precision=_PREC)
-    R = AV - theta[:, None] * V
-    res = jnp.linalg.norm(R, axis=1)
-    return V, theta, res
+    return Q, AQ, jnp.matmul(Q, AQ.T, precision=_PREC)
+
+
+@jax.jit
+def _rotate_residuals(Ut, theta, Q, AQ):
+    V = jnp.matmul(Ut, Q, precision=_PREC)             # Ritz rows
+    AV = jnp.matmul(Ut, AQ, precision=_PREC)
+    return V, jnp.linalg.norm(AV - theta[:, None] * V, axis=1)
+
+
+@jax.jit
+def _filter_gains(op, V, coeffs, lmin, lmax):
+    """``||p(A) v_i||`` for unit Ritz rows — the GHOST discriminator.
+
+    A subspace sized past the captured cluster parks its surplus
+    directions on mixtures of uncaptured (gain < ~0.1) eigendirections;
+    Rayleigh-Ritz can land such a mixture's quotient INSIDE the owned
+    window with a residual that never improves (measured: mid-spectrum
+    3-D-Laplacian slice, 3 ghosts at 3.5e-3 relative blocking the gate
+    for 25+ sweeps).  A true owned pair sits in the filter's flat top
+    (gain >= 0.9 by the pad construction); a ghost is a combination of
+    gain < ~0.1 directions, so one filter application separates them
+    deterministically at threshold 0.5.
+    """
+    Y = cheby_filter(op, V, coeffs, lmin, lmax)
+    return jnp.linalg.norm(Y, axis=1)
+
+
+def _pending_gains(op, X, pending, coeffs, lmin, lmax):
+    """:func:`_filter_gains` for the pending rows of ``X``, padded to a
+    bucket of 8 rows so repeated checks with varying pending counts reuse
+    ONE compiled filter (a fresh degree-N recurrence compile costs ~10 s
+    through the remote TPU tunnel)."""
+    p = int(pending.size)
+    idx = np.concatenate([pending, np.zeros((-p) % 8, pending.dtype)])
+    gains = np.asarray(_filter_gains(op, X[jnp.asarray(idx)], coeffs,
+                                     lmin, lmax), np.float64)
+    return gains[:p]
+
+
+def _filter_rr_step(op, X, coeffs, lmin, lmax):
+    """One filtered subspace sweep: filter, CholQR2, Rayleigh-Ritz on A,
+    residual norms.
+
+    The (s, n) work (degree-N filter recurrence, all block gemms, the RR
+    matvec) runs as jitted device dispatches; every (s, s) factorization
+    happens on the host in float64 (see ``_host_whiten``).  The host round
+    trips ride between dispatches the loop already syncs on (theta/res),
+    and cost ~1% of a sweep.  Returns Ritz rows (device, ascending theta),
+    theta and residual norms as host float64 arrays.
+    """
+    wdtype = X.dtype
+    Y, G = _filter_gram(op, X, coeffs, lmin, lmax)
+    C1 = jnp.asarray(_host_whiten(G), wdtype)
+    Q1, G2 = _factor_gram(C1, Y)                       # CholQR pass 2's Gram
+    C2 = jnp.asarray(_host_whiten(G2), wdtype)
+    Q, AQ, S = _factor_rr(C2, Q1, op)
+    Sh = np.asarray(S, np.float64)
+    theta, U = np.linalg.eigh(0.5 * (Sh + Sh.T))
+    V, res = _rotate_residuals(jnp.asarray(U.T, wdtype),
+                               jnp.asarray(theta, wdtype), Q, AQ)
+    return V, theta, np.asarray(res, np.float64)
 
 
 def eigsh_filtered(
@@ -250,19 +381,26 @@ def eigsh_filtered(
     nev : how many pairs (nearest the window center); ``None`` means ALL
         pairs inside the window ("spectrum slice" mode, used by
         :func:`eigsh_window`): the subspace is sized at 2x the stochastic
-        count, and convergence requires every inside pair at ``tol`` with
-        the inside count stable across two consecutive sweeps.  Statistical
-        caveat: completeness rests on the KPM count (an in-window pair can
-        be missed if the count underestimates badly — the 2x oversampling
-        plus the stability test make this unlikely, not impossible).
-    interval : the wanted window ``(a, b)`` in eigenvalue space.
-    degree : Chebyshev degree of the filter; default scales with the ratio
-        of the spectrum width to the window width (wider spectra / narrower
-        windows need sharper filters).
+        count of the capture window, and convergence requires every inside
+        pair at ``tol`` with the inside count stable across two consecutive
+        sweeps.  Statistical caveat: completeness rests on the KPM count
+        (an in-window pair can be missed if the count underestimates badly
+        — the 2x oversampling plus the stability test make this unlikely,
+        not impossible).
+    interval : the wanted window ``(a, b)`` in eigenvalue space.  The
+        filter itself runs on a transition-padded superset of it (see the
+        geometry comment in the body); convergence and the returned pairs
+        are gated on ``(a, b)`` exactly.
+    degree : Chebyshev degree of the filter; by default the smallest degree
+        whose transition half-width is a quarter of the window at the
+        window's LOCAL Chebyshev geometry (near-spectrum-edge windows
+        resolve much more cheaply than mid-spectrum ones — see
+        :func:`_edge_sine`; 5.5x measured on the 3-D Laplacian band edge).
     subspace : iteration block size; by default sized from a stochastic
-        count of the eigenvalues inside the window
-        (:func:`estimate_window_count`) — the subspace must OVERSAMPLE the
-        full in-window cluster, not just ``nev``, or the unresolved
+        count of the eigenvalues inside the CAPTURE window (the padded
+        window where the filter gain stays above ~0.1,
+        :func:`estimate_window_count`) — the subspace must OVERSAMPLE the
+        full captured cluster, not just ``nev``, or the unresolved
         neighbors stall convergence (measured 8x matvec swing on the 1-D
         Laplacian).
     tol : residual tolerance, RELATIVE to the spectral radius bound
@@ -274,9 +412,10 @@ def eigsh_filtered(
     refine : like :func:`arnoldi_tpu.partial_schur` — "auto" engages the
         double-word continuation when the work dtype is float32 and ``tol``
         < 1e-6 (format operators only): the coarse f32 phase stops at 1e-5
-        and the same filtered sweep continues in compensated arithmetic to
-        ``tol`` against the TRUE matrix (1e-8-grade interior residuals on
-        the f64-free device; outputs come back float64).  "dw" forces it,
+        OR at its noise-floor stall (whichever comes first), and the same
+        filtered sweep continues in compensated arithmetic to ``tol``
+        against the TRUE matrix (1e-8-grade interior residuals on the
+        f64-free device; outputs come back float64).  "dw" forces it,
         None disables.
     mesh : optional 1-D device mesh — the operator's rows, the subspace
         block, and every filter sweep (coarse AND dw) are GSPMD-partitioned
@@ -327,43 +466,69 @@ def eigsh_filtered(
         f"window [{a}, {b}] lies outside the spectral enclosure "
         f"[{lmin}, {lmax}]")
 
+    # --- filter geometry (the slicing-correctness core) -------------------
+    # Three nested intervals around the OWNED window [a_m, b_m] (the pairs
+    # this call must converge and return):
+    #   * the filter's indicator window is the owned window PADDED by one
+    #     transition half-width `delta` per side, so the flat top
+    #     (gain >= 0.9) covers every owned pair — without the pad, owned
+    #     pairs near the edge sit mid-transition with gain ~0.5 and
+    #     converge at rate g_out/g_in -> 1 against their just-outside
+    #     neighbors (measured: a dense-spectrum slice stalled at 2e-3 for
+    #     25+ sweeps with the unpadded window);
+    #   * the CAPTURE window [a_m - 2 delta, b_m + 2 delta] is where gain
+    #     stays >= ~0.1 — the subspace is sized to hold every pair in it,
+    #     so the strongest UNCAPTURED direction has gain < 0.1 and each
+    #     sweep contracts owned residuals by ~10x or better;
+    #   * convergence is gated on the owned window only.
+    w_own = b_m - a_m
+    sin_eff = _edge_sine(a_m, b_m, lmin, lmax)
     if degree is None:
-        # Sharper filters for narrower windows: the transition width of the
-        # damped expansion scales like (lmax - lmin) / N, and MUST stay
-        # below the window width — a too-wide filter gives near-equal gain
-        # to the (possibly many more) eigenvalues in the transition band,
-        # and the subspace rotates away from the window entirely (measured:
-        # a 2000-degree cap on a width-0.02 window of the 512k 3-D
-        # Laplacian lost every in-window Ritz pair by sweep 2).
-        degree = int(min(max(8.0 * (lmax - lmin) / (b_m - a_m), 16), 40000))
-    coeffs = jackson_cheby_coeffs(a_m, b_m, lmin, lmax, degree)
+        # transition half-width = a quarter of the owned window
+        degree = _auto_degree(lmin, lmax, sin_eff, 0.25 * w_own)
+    degree = int(degree)
+    delta = 2.5 * (lmax - lmin) * sin_eff / degree
+    lo_f, hi_f = max(a_m - delta, lmin), min(b_m + delta, lmax)
+    lo_c, hi_c = max(a_m - 2 * delta, lmin), min(b_m + 2 * delta, lmax)
+    coeffs = jackson_cheby_coeffs(lo_f, hi_f, lmin, lmax, degree)
 
     all_inside = nev is None
     matvecs = 0
+    probes = 8
+    expected = None
+    kz1, kz2 = jax.random.split(kz)
+    if all_inside:
+        # the empty-window collapse guard (and the sizing below) needs the
+        # OWNED count, not just the (wider) capture count
+        cdeg2 = int(min(degree, max(150, _auto_degree(
+            lmin, lmax, sin_eff, 0.25 * w_own, cap=8000))))
+        expected = estimate_window_count(
+            op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg2,
+            probes=probes, key=kz2, mesh=mesh)
+        matvecs += probes * (cdeg2 + 1)
     if subspace is not None:
         s = int(subspace)
     else:
-        # Size the subspace from the in-window eigenvalue count: 1.5x
-        # oversampling + margin (both the estimator noise and the
-        # straddling neighbors want headroom); 2x in all-inside mode,
-        # where missing a tail pair is a completeness failure rather
-        # than a few extra sweeps.
-        # The count kernel must also resolve the window: keep its smoothing
-        # width (~spread/degree) at or below half the window width, floor
-        # 150.
-        cdeg = int(min(degree,
-                       max(150, 2.0 * (lmax - lmin) / (b_m - a_m))))
-        probes = 8
+        # Size the subspace from the CAPTURE-window eigenvalue count.  The
+        # owned cluster gets 2x oversampling in all-inside mode (missing a
+        # tail pair is a completeness failure) / 1.5x otherwise; the
+        # transition-band surplus (capture minus owned) only needs to be
+        # PRESENT in the subspace, not completeness-guarded — 1.25x.  The
+        # count kernel must resolve the capture window: transition
+        # half-width a quarter of it, floor 150.
+        cdeg = int(min(degree, max(150, _auto_degree(
+            lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
         count = estimate_window_count(
-            op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg,
-            probes=probes, key=kz, mesh=mesh)
+            op, (lo_c, hi_c), bounds=(lmin, lmax), degree=cdeg,
+            probes=probes, key=kz1, mesh=mesh)
         matvecs += probes * (cdeg + 1)
-        over = 2.0 if all_inside else 1.5
-        base = 6 if not all_inside else 8
-        s = max((nev or 0) + 6,
-                int(np.ceil(over * max(count, 0.0))) + base)
+        count = max(count, 0.0)
+        if all_inside:
+            owned = min(max(expected, 0.0), count)
+            s = int(np.ceil(2.0 * owned + 1.25 * (count - owned))) + 8
+        else:
+            s = max(nev + 6, int(np.ceil(1.5 * count)) + 6)
     s = min(max(s, nev or 1), n)
-    expected = count if subspace is None else None
     if tol is None:
         tol = float(np.sqrt(np.finfo(wdtype).eps))
     scale = max(abs(lmin), abs(lmax))
@@ -397,43 +562,86 @@ def eigsh_filtered(
             mesh, PartitionSpec(None, mesh.axis_names[0])))
     X = _cholqr2(X)
 
+    verbose = bool(os.environ.get("ARNOLDI_FILTER_VERBOSE"))
+
     history = History.from_k(nev or 1)
-    center = 0.5 * (a + b)
+    center = 0.5 * (a_m + b_m)
     prev_inside = -1
+    t_sweep = time.perf_counter()
     for sweep in range(int(max_iters)):
-        X, theta, res = _filter_rr_step(op, X, coeffs, lmin, lmax)
-        matvecs += (degree + 1) * s
-        theta_h = np.asarray(theta, np.float64)
-        res_h = np.asarray(res, np.float64)
-        inside = np.nonzero((theta_h >= a) & (theta_h <= b))[0]
+        X, theta_h, res_h = _filter_rr_step(op, X, coeffs, lmin, lmax)
+        matvecs += (degree + 2) * s
+        inside = np.nonzero((theta_h >= a_m) & (theta_h <= b_m))[0]
         # The break test checks EXACTLY the pairs that would be returned:
-        # the nev nearest-center inside the window (or all inside pairs in
-        # slice mode).  Testing "any nev converged inside" instead lets a
-        # transient Ritz ghost (an unconverged subspace direction whose
-        # Rayleigh quotient lands in the window) displace the true nearest
-        # pairs at the break sweep.
+        # the nev nearest-center inside the OWNED window (or all owned
+        # pairs in slice mode).  Testing "any nev converged inside" instead
+        # lets a transient Ritz ghost (an unconverged subspace direction
+        # whose Rayleigh quotient lands in the window) displace the true
+        # nearest pairs at the break sweep.
         if all_inside:
             pick = inside
         else:
             pick = inside[np.argsort(np.abs(theta_h[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res_h[pick].max() / scale) if pick.size else np.inf)
+        # Ghost discrimination (see _filter_gains): once the trace stalls
+        # with a small pending set among converged neighbors, one filter
+        # application on the pending rows separates slow TRUE pairs
+        # (gain >= 0.9, keep waiting) from Ritz ghosts (gain < 0.5, drop
+        # from the gate AND the returned set).  Converged pairs need no
+        # check — a mixture of far-apart eigendirections cannot have a
+        # small residual.
+        trace = history.residual_trace
+        stalled = (sweep >= 2 and np.isfinite(trace[-1])
+                   and trace[-1] > 0.7 * trace[-3])
+        n_ghost = 0
+        if stalled and pick.size:
+            pending = pick[res_h[pick] > tol * scale]
+            if 0 < pending.size <= max(8, int(np.ceil(0.25 * pick.size))):
+                gains = _pending_gains(op, X, pending, coeffs, lmin, lmax)
+                matvecs += degree * int(-(-pending.size // 8) * 8)
+                ghost = pending[gains < 0.5]
+                if ghost.size:
+                    n_ghost = int(ghost.size)
+                    inside = inside[~np.isin(inside, ghost)]
+                    if all_inside:
+                        pick = inside
+                    else:
+                        pick = inside[np.argsort(
+                            np.abs(theta_h[inside] - center))[:nev]]
+                    trace[-1] = (float(res_h[pick].max() / scale)
+                                 if pick.size else np.inf)
+        if verbose:
+            print(f"[filtered] sweep {sweep}: degree={degree} s={s} "
+                  f"inside={inside.size} ghosts={n_ghost} max_rel_res="
+                  f"{history.residual_trace[-1]:.2e} "
+                  f"({time.perf_counter() - t_sweep:.1f}s)",
+                  file=sys.stderr, flush=True)
+            t_sweep = time.perf_counter()
+        # An empty stable window is a valid result ONLY when the KPM count
+        # agrees the window is empty — an inside-count collapse with a
+        # populated count means the subspace rotated away from the window
+        # (enclosure trouble) and must not read as success.
+        empty_ok = expected is None or expected < 1.0
+        stable = (inside.size == prev_inside
+                  and (inside.size > 0 or empty_ok)
+                  and (all_inside or pick.size >= nev))
+        # dw handoff on stall: the f32 sweep floors at a problem-dependent
+        # noise level; once the trace stops improving with the inside set
+        # stable (and below a sanity ceiling), the double-word tier
+        # continues the SAME contraction without the f32 floor.
+        if (do_refine and sweep >= 2 and stable and np.isfinite(trace[-1])
+                and trace[-1] < 1e-3 and trace[-1] > 0.7 * trace[-3]):
+            break
         if all_inside:
-            # every inside pair converged AND the inside count stable over
+            # every owned pair converged AND the inside count stable over
             # two consecutive sweeps (a pair still drifting into the window
-            # means the subspace hasn't settled).  An empty stable window
-            # is a valid result ONLY when the KPM count agrees the window
-            # is empty — an inside-count collapse with a populated count
-            # means the subspace rotated away from the window (filter too
-            # wide / enclosure trouble) and must not read as success.
-            empty_ok = expected is None or expected < 1.0
-            if (inside.size == prev_inside
-                    and (inside.size > 0 or empty_ok)
-                    and np.all(res_h[pick] <= tol * scale)):
+            # means the subspace hasn't settled).
+            if stable and np.all(res_h[pick] <= tol * scale):
                 break
-            prev_inside = inside.size
         elif pick.size >= nev and np.all(res_h[pick] <= tol * scale):
             break
+        prev_inside = inside.size
     else:
         raise RuntimeError("Has not converged !")
 
@@ -449,17 +657,19 @@ def eigsh_filtered(
             op_lo = shard_operator(op_lo, mesh)
         from ..ops.df32 import dw_to_f64
 
-        theta_r, (Xh_r, Xl_r), res_r, r_sweeps, r_mv = _refine_filtered_dw(
-            op32, op_lo, X, a=a_m, b=b_m, lmin=lmin, lmax=lmax,
-            degree=degree, tol=tol_target, scale=scale, nev=nev,
-            history=history)
+        theta_r, (Xh_r, Xl_r), res_r, pick, r_sweeps, r_mv = (
+            _refine_filtered_dw(
+                op32, op_lo, X, win=(lo_f, hi_f), own=(a_m, b_m), lmin=lmin,
+                lmax=lmax, degree=degree, tol=tol_target, scale=scale,
+                nev=nev, history=history,
+                # dw theta placement is sharper than coarse, so a
+                # cut-straddling pair may legitimately leave the owned
+                # window — require most, not all, of the coarse inside
+                # count as the collapse guard
+                min_inside=(int(np.ceil(0.8 * inside.size)) if all_inside
+                            else (nev or 0))))
         matvecs += r_mv
         n_sweeps += r_sweeps
-        inside = np.nonzero((theta_r >= a) & (theta_r <= b))[0]
-        if all_inside:
-            pick = inside
-        else:
-            pick = inside[np.argsort(np.abs(theta_r[inside] - center))[:nev]]
         pick = pick[np.argsort(theta_r[pick])]  # scipy-ascending
         # Transfer ONLY the picked rows (both limbs): through a remote
         # tunnel the full (s, n) workspace pull dominates wall time (see
@@ -619,22 +829,25 @@ def _dw_residual_norms(AXh, AXl, Xh, Xl, th, tl):
     return nh
 
 
-def _refine_filtered_dw(op32, op_lo, X32, *, a, b, lmin, lmax, degree, tol,
-                        scale, nev, history, max_sweeps=8):
-    """Continue a converged-f32 filtered subspace to ``tol`` in dw.
+def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
+                        tol, scale, nev, history, min_inside=0,
+                        max_sweeps=12):
+    """Continue a stalled-f32 filtered subspace to ``tol`` in dw.
 
-    Per sweep: one dw filter application, dw Gram + host-f64 Cholesky
+    Per sweep: one dw filter application (the PADDED window ``win``, same
+    geometry as the coarse phase), dw Gram + host-f64 shifted-Cholesky
     orthonormalization, dw Rayleigh-Ritz against the TRUE matrix
-    (``op32 + op_lo``), dw residual norms.  Returns host-f64 ``theta`` and
-    ``res`` plus the DEVICE-resident limb pair ``(Xh, Xl)`` of the final
-    Ritz rows — the caller slices the wanted rows before any transfer.
+    (``op32 + op_lo``), dw residual norms; convergence gated on the OWNED
+    window ``own`` with at least ``min_inside`` pairs present.  Returns
+    host-f64 ``theta`` and ``res`` plus the DEVICE-resident limb pair
+    ``(Xh, Xl)`` of the final Ritz rows — the caller slices the wanted rows
+    before any transfer.
     """
-    import scipy.linalg as sla
-
     from ..ops.df32 import dw_from_f64, dw_to_f64
 
     s = X32.shape[0]
-    coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, degree)
+    a, b = own
+    coeffs = jackson_cheby_coeffs(win[0], win[1], lmin, lmax, degree)
     ch_arr, cl_arr = dw_from_f64(coeffs)
     cpair = _dw_scalar(0.5 * (lmax + lmin))
     epair = _dw_scalar(2.0 / (lmax - lmin))
@@ -648,9 +861,10 @@ def _refine_filtered_dw(op32, op_lo, X32, *, a, b, lmin, lmax, degree, tol,
                                   epair, op_lo)
         matvecs += degree * s
         Gh, Gl = _dw_gram(Xh, Xl, Xh, Xl)
-        G = dw_to_f64(np.asarray(Gh), np.asarray(Gl))
-        L = np.linalg.cholesky(0.5 * (G + G.T))
-        C = sla.solve_triangular(L, np.eye(s), lower=True)
+        # filter gains span many decades, so the dw Gram can be
+        # numerically indefinite even in f64 — _host_whiten's escalating
+        # shift handles it (span is preserved under any invertible factor)
+        C = _host_whiten(dw_to_f64(np.asarray(Gh), np.asarray(Gl)))
         Xh, Xl = _dw_rotate(*dw_from_f64(C), Xh, Xl)
         AXh, AXl = _dw_matmat(op32, Xh, Xl, op_lo)
         matvecs += s
@@ -670,13 +884,53 @@ def _refine_filtered_dw(op32, op_lo, X32, *, a, b, lmin, lmax, degree, tol,
             pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res[pick].max() / scale) if pick.size else np.inf)
-        if (pick.size >= (nev or 0)
+        # Ghost discrimination, dw edition (see _filter_gains and the
+        # coarse loop): a ghost that rode in from the coarse subspace (or
+        # emerged as the dw Ritz rotation sharpened theta placement) stalls
+        # the all-converged gate exactly as in f32.  The gain check runs in
+        # plain f32 on the high limb — a 0.5 threshold needs no
+        # compensation.
+        trace = history.residual_trace
+        stalled = (sweep >= 2 and np.isfinite(trace[-1])
+                   and trace[-1] > 0.7 * trace[-3])
+        n_ghost = 0
+        if stalled and pick.size:
+            pending = pick[res[pick] > tol * scale]
+            if 0 < pending.size <= max(8, int(np.ceil(0.25 * pick.size))):
+                gains = _pending_gains(op32, Xh, pending,
+                                       jnp.asarray(coeffs, Xh.dtype),
+                                       lmin, lmax)
+                matvecs += degree * int(-(-pending.size // 8) * 8)
+                ghost = pending[gains < 0.5]
+                if ghost.size:
+                    n_ghost = int(ghost.size)
+                    inside = inside[~np.isin(inside, ghost)]
+                    if nev is None:
+                        pick = inside
+                    else:
+                        pick = inside[np.argsort(
+                            np.abs(theta[inside] - center))[:nev]]
+                    trace[-1] = (float(res[pick].max() / scale)
+                                 if pick.size else np.inf)
+        if os.environ.get("ARNOLDI_FILTER_VERBOSE"):
+            print(f"[filtered/dw] sweep {sweep}: inside={inside.size} "
+                  f"ghosts={n_ghost} "
+                  f"max_rel_res={history.residual_trace[-1]:.2e}",
+                  file=sys.stderr, flush=True)
+        # the collapse guard discounts this sweep's identified ghosts (they
+        # were counted by the coarse phase's inside set, but are not owned
+        # pairs) — per-sweep, NOT cumulative: rows rotate every sweep, so
+        # the same ghost is re-identified each stalled sweep.
+        if (pick.size >= max(nev or 0, min_inside - n_ghost)
                 and np.all(res[pick] <= tol * scale)):
             break
     else:
         raise RuntimeError("Has not converged !")
 
-    return theta, (Xh, Xl), res, sweep + 1, matvecs
+    # pick carries the ghost exclusion — the caller must NOT re-derive the
+    # inside set from theta (a dropped ghost's Rayleigh quotient still
+    # lies in the window).
+    return theta, (Xh, Xl), res, pick, sweep + 1, matvecs
 
 
 def eigsh_window(
@@ -742,9 +996,11 @@ def eigsh_window(
     # (a uniform-width split would overload high-density slices).
     probes = 8
     n_cells = 8
-    # the count kernel must resolve a CELL (width (b-a)/n_cells)
-    cdeg = int(min(max(150, 2.0 * (lmax - lmin) * n_cells / (b_m - a_m)),
-                   8000))
+    # the count kernel must resolve a CELL: transition half-width half a
+    # cell, at the window's local arccos geometry (see _edge_sine)
+    cdeg = max(150, _auto_degree(
+        lmin, lmax, _edge_sine(a_m, b_m, lmin, lmax),
+        0.5 * (b_m - a_m) / n_cells, cap=8000))
     grid = np.linspace(a_m, b_m, n_cells + 1)
     cell_counts = np.empty(n_cells)
     mv_count = 0

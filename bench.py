@@ -358,7 +358,11 @@ def main_interior(g=80):
 
     on_tpu = jax.default_backend() == "tpu"
     n = g * g * g
-    a, b = -11.95, -11.93  # 54 pairs at g=80, 66 eigenvalues below
+    # per-grid interior windows (count, below): truly interior, modest
+    # slice size, filter degree ~2-5k
+    windows = {48: (-11.9, -11.84), 64: (-11.93, -11.89),
+               80: (-11.95, -11.93)}
+    a, b = windows.get(g, (-11.93, -11.89))
     A = laplace_3d(g)
     full = np.sort(laplace_3d_eigen(g))
     want = full[(full >= a) & (full <= b)]
@@ -400,6 +404,6 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "scattered":
         main_scattered(int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20)
     elif len(sys.argv) > 1 and sys.argv[1] == "interior":
-        main_interior(int(sys.argv[2]) if len(sys.argv) > 2 else 80)
+        main_interior(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
     else:
         main_hot_loop()

@@ -75,6 +75,40 @@ class TestPieces:
         want = X @ (Q * p) @ Q.T
         np.testing.assert_allclose(got, want, atol=1e-10)
 
+    def test_ghost_gain_discriminator(self):
+        # _filter_gains separates a true in-window Ritz pair (flat-top
+        # filter gain ~1) from a ghost — a mixture of OUTSIDE
+        # eigendirections whose Rayleigh quotient lands inside the window
+        # (gain << 0.5).  This is the deterministic completeness gate the
+        # all-inside mode relies on when a stalled pending pair must be
+        # classified.
+        from arnoldi_tpu.linop import as_operator
+        from arnoldi_tpu.solvers.filtered import _filter_gains
+
+        rng = np.random.default_rng(11)
+        n = 80
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lam = np.linspace(-2.0, 2.0, n)
+        A = (Q * lam) @ Q.T
+        lmin, lmax = -2.1, 2.1
+        a, b = -0.1, 0.1  # covers lam indices around the middle
+        degree = 400
+        delta = 2.5 * (lmax - lmin) / degree
+        coeffs = jackson_cheby_coeffs(a - delta, b + delta, lmin, lmax,
+                                      degree)
+        op = as_operator(A, dtype=np.float64)
+        true_idx = int(np.argmin(np.abs(lam)))  # in-window eigenvector
+        lo = int(np.searchsorted(lam, a - 6 * delta))  # far below capture
+        hi = int(np.searchsorted(lam, b + 6 * delta)) + 1  # far above
+        w = (lam[hi] - 0.0) / (lam[hi] - lam[lo])  # quotient lands at 0
+        ghost = np.sqrt(w) * Q[:, lo] + np.sqrt(1 - w) * Q[:, hi]
+        rq = ghost @ A @ ghost
+        assert a < rq < b  # the ghost's Rayleigh quotient IS in-window
+        V = np.stack([Q[:, true_idx], ghost])
+        gains = np.asarray(_filter_gains(op, V, coeffs, lmin, lmax))
+        assert gains[0] > 0.9, gains
+        assert gains[1] < 0.3, gains
+
     def test_window_count_estimator(self):
         n = 300
         L = laplace(n).tocsr()
@@ -152,10 +186,14 @@ class TestEigshFiltered:
         assert np.unique(np.round(vals, 3)).size == 3  # distinct pairs
 
     def test_not_converged_raises(self):
+        # subspace pinned far below the cluster: a degree-8 filter cannot
+        # resolve the window in one sweep (the auto-sized subspace would
+        # cover the whole n=100 space and legitimately converge by exact
+        # Rayleigh-Ritz).
         L = laplace(100).tocsr()
         with pytest.raises(RuntimeError, match="Has not converged !"):
             eigsh_filtered(L, 3, (-2.1, -1.9), tol=1e-12, max_iters=1,
-                           degree=8, dtype=np.float64)
+                           degree=8, subspace=6, dtype=np.float64)
 
     def test_bad_window_raises(self):
         L = laplace(50).tocsr()
