@@ -282,6 +282,45 @@ def _filter_gram(op, X, coeffs, lmin, lmax):
 
 
 @jax.jit
+def _filter_scatter_gram(op, X, idx, coeffs, lmin, lmax):
+    """Soft-locking filter: apply ``p(A)`` only to rows ``idx`` of the
+    Ritz block, carry the rest (converged pairs) through unchanged.
+
+    The filter scales each row by its gain, so the refreshed rows are
+    re-normalized before reassembly (the mixed-scale Gram would otherwise
+    burn f32 mantissa for nothing).  Rayleigh-Ritz still runs over the
+    WHOLE block, so locked pairs keep participating in the projection —
+    if re-mixing ever degrades one, its residual rises and it simply
+    becomes active again next sweep (self-correcting; no explicit
+    deflation bookkeeping).
+    """
+    Xa = X[idx]
+    Ya = cheby_filter(op, Xa, coeffs, lmin, lmax)
+    nrm = jnp.linalg.norm(Ya, axis=1, keepdims=True)
+    Ya = Ya / jnp.maximum(nrm, jnp.finfo(Ya.dtype).tiny)
+    Y = X.at[idx].set(Ya)
+    return Y, jnp.matmul(Y, Y.T, precision=_PREC)
+
+
+def _active_rows(res, tol_abs, s):
+    """Row indices to refresh this sweep under soft locking: the
+    unconverged rows, padded with DISTINCT converged rows to a bucket of
+    32 (so the jitted filter sees a handful of shapes, not one per
+    sweep — each distinct shape is a fresh degree-N compile on the remote
+    device).  Returns None when everything (or nothing) is active."""
+    if res is None:
+        return None
+    active = np.nonzero(res > tol_abs)[0]
+    if active.size == 0 or active.size >= s:
+        return None if active.size else np.empty(0, np.intp)
+    sb = min(int(-(-active.size // 32) * 32), s)
+    if sb >= s:
+        return None
+    done = np.setdiff1d(np.arange(s), active)
+    return np.concatenate([active, done[: sb - active.size]])
+
+
+@jax.jit
 def _factor_gram(C, Y):
     Q = jnp.matmul(C, Y, precision=_PREC)
     return Q, jnp.matmul(Q, Q.T, precision=_PREC)
@@ -331,9 +370,10 @@ def _pending_gains(op, X, pending, coeffs, lmin, lmax):
     return gains[:p]
 
 
-def _filter_rr_step(op, X, coeffs, lmin, lmax):
-    """One filtered subspace sweep: filter, CholQR2, Rayleigh-Ritz on A,
-    residual norms.
+def _filter_rr_step(op, X, coeffs, lmin, lmax, active=None):
+    """One filtered subspace sweep: filter (all rows, or only the
+    ``active`` soft-locking subset — see :func:`_filter_scatter_gram`),
+    CholQR2, Rayleigh-Ritz on A, residual norms.
 
     The (s, n) work (degree-N filter recurrence, all block gemms, the RR
     matvec) runs as jitted device dispatches; every (s, s) factorization
@@ -343,7 +383,19 @@ def _filter_rr_step(op, X, coeffs, lmin, lmax):
     theta and residual norms as host float64 arrays.
     """
     wdtype = X.dtype
-    Y, G = _filter_gram(op, X, coeffs, lmin, lmax)
+    if active is None:
+        Y, G = _filter_gram(op, X, coeffs, lmin, lmax)
+        n_filtered = X.shape[0]
+    elif active.size == 0:
+        # everything locked (loop is only waiting on count stability):
+        # re-project without refreshing any row
+        Y = X
+        G = jnp.matmul(Y, Y.T, precision=_PREC)
+        n_filtered = 0
+    else:
+        Y, G = _filter_scatter_gram(op, X, jnp.asarray(active), coeffs,
+                                    lmin, lmax)
+        n_filtered = int(active.size)
     C1 = jnp.asarray(_host_whiten(G), wdtype)
     Q1, G2 = _factor_gram(C1, Y)                       # CholQR pass 2's Gram
     C2 = jnp.asarray(_host_whiten(G2), wdtype)
@@ -352,7 +404,7 @@ def _filter_rr_step(op, X, coeffs, lmin, lmax):
     theta, U = np.linalg.eigh(0.5 * (Sh + Sh.T))
     V, res = _rotate_residuals(jnp.asarray(U.T, wdtype),
                                jnp.asarray(theta, wdtype), Q, AQ)
-    return V, theta, np.asarray(res, np.float64)
+    return V, theta, np.asarray(res, np.float64), n_filtered
 
 
 def eigsh_filtered(
@@ -567,10 +619,14 @@ def eigsh_filtered(
     history = History.from_k(nev or 1)
     center = 0.5 * (a_m + b_m)
     prev_inside = -1
+    res_prev = None   # previous sweep's residuals -> soft-locking actives
     t_sweep = time.perf_counter()
     for sweep in range(int(max_iters)):
-        X, theta_h, res_h = _filter_rr_step(op, X, coeffs, lmin, lmax)
-        matvecs += (degree + 2) * s
+        X, theta_h, res_h, n_f = _filter_rr_step(
+            op, X, coeffs, lmin, lmax,
+            active=_active_rows(res_prev, tol * scale, s))
+        res_prev = res_h
+        matvecs += degree * n_f + 2 * s
         inside = np.nonzero((theta_h >= a_m) & (theta_h <= b_m))[0]
         # The break test checks EXACTLY the pairs that would be returned:
         # the nev nearest-center inside the OWNED window (or all owned
@@ -613,6 +669,7 @@ def eigsh_filtered(
                                  if pick.size else np.inf)
         if verbose:
             print(f"[filtered] sweep {sweep}: degree={degree} s={s} "
+                  f"filtered={n_f} "
                   f"inside={inside.size} ghosts={n_ghost} max_rel_res="
                   f"{history.residual_trace[-1]:.2e} "
                   f"({time.perf_counter() - t_sweep:.1f}s)",
@@ -782,6 +839,19 @@ def _dw_cheby_filter(op, Xh, Xl, ch_arr, cl_arr, cpair, epair, op_lo=None):
 
 
 @jax.jit
+def _dw_filter_scatter(op, Xh, Xl, idx, ch_arr, cl_arr, cpair, epair,
+                       op_lo=None):
+    """Soft-locking dw filter: refresh only rows ``idx`` of the limb pair
+    (see :func:`_filter_scatter_gram` for the scheme; no per-row
+    normalization here — the host whitening runs in f64, which absorbs
+    the mixed gain scales)."""
+    ah, al = Xh[idx], Xl[idx]
+    fh, fl = _dw_cheby_filter(op, ah, al, ch_arr, cl_arr, cpair, epair,
+                              op_lo)
+    return Xh.at[idx].set(fh), Xl.at[idx].set(fl)
+
+
+@jax.jit
 def _dw_gram(Xh, Xl, Yh, Yl):
     """``G_ij = <X_i, Y_j>`` in dw; returns (s, s) limb pairs.  Sequential
     ``lax.map`` over rows keeps temporaries at (s, n) — a vmap here would
@@ -856,10 +926,20 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
     Xh = jnp.asarray(X32, jnp.float32)
     Xl = jnp.zeros_like(Xh)
     matvecs = 0
+    res_prev = None   # soft locking (see the coarse loop)
     for sweep in range(int(max_sweeps)):
-        Xh, Xl = _dw_cheby_filter(op32, Xh, Xl, ch_arr, cl_arr, cpair,
-                                  epair, op_lo)
-        matvecs += degree * s
+        act = _active_rows(res_prev, tol * scale, s)
+        if act is None:
+            Xh, Xl = _dw_cheby_filter(op32, Xh, Xl, ch_arr, cl_arr, cpair,
+                                      epair, op_lo)
+            n_f = s
+        elif act.size == 0:
+            n_f = 0
+        else:
+            Xh, Xl = _dw_filter_scatter(op32, Xh, Xl, jnp.asarray(act),
+                                        ch_arr, cl_arr, cpair, epair, op_lo)
+            n_f = int(act.size)
+        matvecs += degree * n_f
         Gh, Gl = _dw_gram(Xh, Xl, Xh, Xl)
         # filter gains span many decades, so the dw Gram can be
         # numerically indefinite even in f64 — _host_whiten's escalating
@@ -877,6 +957,7 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
         th, tl = dw_from_f64(theta)
         res = np.asarray(_dw_residual_norms(AXh, AXl, Xh, Xl, th, tl),
                          np.float64)
+        res_prev = res
         inside = np.nonzero((theta >= a) & (theta <= b))[0]
         if nev is None:  # all-inside (spectrum-slice) mode
             pick = inside
@@ -913,8 +994,8 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
                     trace[-1] = (float(res[pick].max() / scale)
                                  if pick.size else np.inf)
         if os.environ.get("ARNOLDI_FILTER_VERBOSE"):
-            print(f"[filtered/dw] sweep {sweep}: inside={inside.size} "
-                  f"ghosts={n_ghost} "
+            print(f"[filtered/dw] sweep {sweep}: filtered={n_f} "
+                  f"inside={inside.size} ghosts={n_ghost} "
                   f"max_rel_res={history.residual_trace[-1]:.2e}",
                   file=sys.stderr, flush=True)
         # the collapse guard discounts this sweep's identified ghosts (they

@@ -109,6 +109,31 @@ class TestPieces:
         assert gains[0] > 0.9, gains
         assert gains[1] < 0.3, gains
 
+    def test_active_rows_buckets(self):
+        # soft-locking row selection: unconverged rows first, padded with
+        # DISTINCT converged rows to a bucket of 32 (shape-stable jit),
+        # None for all-active / first sweep, empty for everything locked.
+        from arnoldi_tpu.solvers.filtered import _active_rows
+
+        assert _active_rows(None, 1e-8, 100) is None  # first sweep
+        res = np.full(100, 1.0)
+        assert _active_rows(res, 1e-8, 100) is None   # nothing converged
+        res = np.full(100, 1e-12)
+        assert _active_rows(res, 1e-8, 100).size == 0  # all locked
+        res = np.full(100, 1e-12)
+        res[[3, 50, 97]] = 1.0
+        idx = _active_rows(res, 1e-8, 100)
+        assert idx.size == 32                          # bucketed
+        assert set([3, 50, 97]) <= set(idx.tolist())
+        assert np.unique(idx).size == idx.size         # distinct pad rows
+        # bucket clamps to s (and a bucket == s means "just go full")
+        res = np.full(40, 1e-12)
+        res[:39] = 1.0
+        assert _active_rows(res, 1e-8, 40) is None     # 39 -> bucket 40 == s
+        res = np.full(40, 1e-12)
+        res[:30] = 1.0
+        assert _active_rows(res, 1e-8, 40).size == 32  # 30 -> bucket 32
+
     def test_window_count_estimator(self):
         n = 300
         L = laplace(n).tocsr()
