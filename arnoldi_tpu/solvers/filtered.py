@@ -209,6 +209,72 @@ def _kpm_count(op, Z, coeffs, lmin, lmax):
     return jnp.mean(jnp.sum(Z * Y, axis=1))
 
 
+@jax.jit
+def _kpm_moments(op, Z, lmin, lmax, mu_out):
+    """Stochastic Chebyshev moments ``mu_j = mean_z z^T T_j(A~) z`` for
+    ``j = 0..N`` (``N + 1 = mu_out.shape[0]``) in one recurrence pass.
+
+    The moments are window-independent: ANY window's KPM count is then
+    ``dot(jackson_coeffs(window), mu[:M+1])`` for any truncation ``M <=
+    N`` — so one ``probes*(N+1)``-matvec pass prices every census cell
+    and sizing count a driver needs (*the* reason eigsh_window's
+    density census costs one count, not n_cells of them).
+    """
+    dt = Z.dtype
+    c = jnp.asarray(0.5 * (lmax + lmin), dt)
+    inv_e = jnp.asarray(2.0 / (lmax - lmin), dt)
+
+    def amap(W):
+        return (op.matmat(W.T).T - c * W) * inv_e
+
+    T0 = Z
+    T1 = amap(Z)
+    mu = mu_out.at[0].set(jnp.mean(jnp.sum(Z * T0, axis=1)))
+    mu = mu.at[1].set(jnp.mean(jnp.sum(Z * T1, axis=1)))
+
+    def body(jdx, carry):
+        Tm1, T, mu = carry
+        Tn = 2.0 * amap(T) - Tm1
+        return (T, Tn, mu.at[jdx].set(jnp.mean(jnp.sum(Z * Tn, axis=1))))
+
+    N = int(mu_out.shape[0]) - 1
+    if N >= 2:
+        _, _, mu = lax.fori_loop(2, N + 1, body, (T0, T1, mu))
+    return mu
+
+
+def spectral_moments(op, degree, *, bounds, probes=8, key=None, mesh=None):
+    """Host-f64 Chebyshev moment vector ``(degree + 1,)`` of ``op`` over
+    the enclosure ``bounds`` (see :func:`_kpm_moments`).  Costs
+    ``probes * (degree + 1)`` matvecs."""
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    n = op.shape[0]
+    wdtype = op.dtype
+    if key is None:
+        key = jax.random.key(1)
+    Z = jax.random.rademacher(key, (int(probes), n), dtype=wdtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        Z = jax.device_put(Z, NamedSharding(
+            mesh, PartitionSpec(None, mesh.axis_names[0])))
+    mu = _kpm_moments(op, Z, lmin, lmax,
+                      jnp.zeros(int(degree) + 1, wdtype))
+    return np.asarray(mu, np.float64)
+
+
+def count_from_moments(mu, interval, bounds, degree=None):
+    """KPM eigenvalue count of ``interval`` from precomputed moments —
+    ``dot(jackson_coeffs, mu)``, optionally truncated to a lower
+    ``degree`` (the damping is degree-specific, so truncation re-damps
+    rather than just slicing)."""
+    lmin, lmax = float(bounds[0]), float(bounds[1])
+    M = len(mu) - 1 if degree is None else int(min(degree, len(mu) - 1))
+    coeffs = jackson_cheby_coeffs(float(interval[0]), float(interval[1]),
+                                  lmin, lmax, M)
+    return float(coeffs @ mu[:M + 1])
+
+
 def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
                           key=None, dtype=None, bounds_dim=40, mesh=None):
     """Stochastic estimate of the NUMBER of eigenvalues of a Hermitian
@@ -219,8 +285,6 @@ def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
     size its iteration subspace.
     """
     op = as_operator(A, dtype=dtype)
-    n = op.shape[0]
-    wdtype = op.dtype
     if key is None:
         key = jax.random.key(1)
     kb, kz = jax.random.split(key)
@@ -231,14 +295,9 @@ def estimate_window_count(A, interval, *, bounds=None, degree=120, probes=8,
     a = max(float(interval[0]), lmin)
     b = min(float(interval[1]), lmax)
     assert a < b, (interval, (lmin, lmax))
-    coeffs = jackson_cheby_coeffs(a, b, lmin, lmax, degree)
-    Z = jax.random.rademacher(kz, (int(probes), n), dtype=wdtype)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        Z = jax.device_put(Z, NamedSharding(
-            mesh, PartitionSpec(None, mesh.axis_names[0])))
-    return float(_kpm_count(op, Z, jnp.asarray(coeffs, wdtype), lmin, lmax))
+    mu = spectral_moments(op, degree, bounds=(lmin, lmax), probes=probes,
+                          key=kz, mesh=mesh)
+    return count_from_moments(mu, (a, b), (lmin, lmax))
 
 
 def _host_whiten(G):
@@ -548,16 +607,25 @@ def eigsh_filtered(
     matvecs = 0
     probes = 8
     expected = None
-    kz1, kz2 = jax.random.split(kz)
+    # One stochastic moment pass prices every count this driver needs
+    # (see _kpm_moments): the OWNED-window count (the empty-window
+    # collapse guard and the sizing both need it) and the CAPTURE-window
+    # count (what the subspace must hold).  Count-kernel degrees: the
+    # transition half-width must resolve a quarter of the counted window,
+    # floor 150, capped by the filter degree.
+    cdeg2 = int(min(degree, max(150, _auto_degree(
+        lmin, lmax, sin_eff, 0.25 * w_own, cap=8000))))
+    cdeg = int(min(degree, max(150, _auto_degree(
+        lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
+    if all_inside or subspace is None:
+        mdeg = max(cdeg2 if all_inside else 0,
+                   cdeg if subspace is None else 0)
+        mu = spectral_moments(op, mdeg, bounds=(lmin, lmax), probes=probes,
+                              key=kz, mesh=mesh)
+        matvecs += probes * (mdeg + 1)
     if all_inside:
-        # the empty-window collapse guard (and the sizing below) needs the
-        # OWNED count, not just the (wider) capture count
-        cdeg2 = int(min(degree, max(150, _auto_degree(
-            lmin, lmax, sin_eff, 0.25 * w_own, cap=8000))))
-        expected = estimate_window_count(
-            op, (a_m, b_m), bounds=(lmin, lmax), degree=cdeg2,
-            probes=probes, key=kz2, mesh=mesh)
-        matvecs += probes * (cdeg2 + 1)
+        expected = count_from_moments(mu, (a_m, b_m), (lmin, lmax),
+                                      degree=cdeg2)
     if subspace is not None:
         s = int(subspace)
     else:
@@ -565,16 +633,9 @@ def eigsh_filtered(
         # owned cluster gets 2x oversampling in all-inside mode (missing a
         # tail pair is a completeness failure) / 1.5x otherwise; the
         # transition-band surplus (capture minus owned) only needs to be
-        # PRESENT in the subspace, not completeness-guarded — 1.25x.  The
-        # count kernel must resolve the capture window: transition
-        # half-width a quarter of it, floor 150.
-        cdeg = int(min(degree, max(150, _auto_degree(
-            lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
-        count = estimate_window_count(
-            op, (lo_c, hi_c), bounds=(lmin, lmax), degree=cdeg,
-            probes=probes, key=kz1, mesh=mesh)
-        matvecs += probes * (cdeg + 1)
-        count = max(count, 0.0)
+        # PRESENT in the subspace, not completeness-guarded — 1.25x.
+        count = max(count_from_moments(mu, (lo_c, hi_c), (lmin, lmax),
+                                       degree=cdeg), 0.0)
         if all_inside:
             owned = min(max(expected, 0.0), count)
             s = int(np.ceil(2.0 * owned + 1.25 * (count - owned))) + 8
@@ -1083,13 +1144,14 @@ def eigsh_window(
         lmin, lmax, _edge_sine(a_m, b_m, lmin, lmax),
         0.5 * (b_m - a_m) / n_cells, cap=8000))
     grid = np.linspace(a_m, b_m, n_cells + 1)
-    cell_counts = np.empty(n_cells)
-    mv_count = 0
-    for i in range(n_cells):
-        cell_counts[i] = max(estimate_window_count(
-            op, (grid[i], grid[i + 1]), bounds=(lmin, lmax), degree=cdeg,
-            probes=probes, key=jax.random.fold_in(kz, i), mesh=mesh), 0.0)
-        mv_count += probes * (cdeg + 1)
+    # one moment pass prices all n_cells census counts (see _kpm_moments)
+    mu = spectral_moments(op, cdeg, bounds=(lmin, lmax), probes=probes,
+                          key=kz, mesh=mesh)
+    mv_count = probes * (cdeg + 1)
+    cell_counts = np.array([
+        max(count_from_moments(mu, (grid[i], grid[i + 1]), (lmin, lmax)),
+            0.0)
+        for i in range(n_cells)])
     total = float(cell_counts.sum())
     if total < 0.5:
         hist = History.from_k(1)

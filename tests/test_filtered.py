@@ -109,6 +109,30 @@ class TestPieces:
         assert gains[0] > 0.9, gains
         assert gains[1] < 0.3, gains
 
+    def test_moments_price_any_window(self):
+        # One moment pass prices every window: a truncated count from a
+        # high-degree moment vector matches the direct lower-degree count
+        # (same probes/key => identical recurrence prefix), and counts
+        # derived from one mu are accurate across disjoint windows.
+        from arnoldi_tpu.solvers.filtered import (
+            count_from_moments,
+            spectral_moments,
+        )
+        from arnoldi_tpu.linop import as_operator
+
+        n = 300
+        op = as_operator(laplace(n).tocsr(), dtype=np.float64)
+        bounds = (-4.05, 0.05)
+        key = jax.random.key(9)
+        mu800 = spectral_moments(op, 800, bounds=bounds, key=key)
+        mu300 = spectral_moments(op, 300, bounds=bounds, key=key)
+        np.testing.assert_allclose(mu300, mu800[:301], rtol=1e-10)
+        full = laplace_eigen(n)
+        for win in [(-2.5, -1.5), (-3.5, -3.0), (-1.0, -0.2)]:
+            true = int(((full >= win[0]) & (full <= win[1])).sum())
+            est = count_from_moments(mu800, win, bounds)
+            assert abs(est - true) < 0.3 * true + 3, (win, est, true)
+
     def test_active_rows_buckets(self):
         # soft-locking row selection: unconverged rows first, padded with
         # DISTINCT converged rows to a bucket of 32 (shape-stable jit),
