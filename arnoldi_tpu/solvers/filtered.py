@@ -42,6 +42,8 @@ __all__ = [
     "eigsh_filtered",
     "eigsh_window",
     "estimate_window_count",
+    "spectral_moments",
+    "count_from_moments",
     "spectrum_bounds",
     "jackson_cheby_coeffs",
     "cheby_filter",
@@ -204,12 +206,6 @@ def _cholqr2(X):
 
 
 @jax.jit
-def _kpm_count(op, Z, coeffs, lmin, lmax):
-    Y = cheby_filter(op, Z, coeffs, lmin, lmax)
-    return jnp.mean(jnp.sum(Z * Y, axis=1))
-
-
-@jax.jit
 def _kpm_moments(op, Z, lmin, lmax, mu_out):
     """Stochastic Chebyshev moments ``mu_j = mean_z z^T T_j(A~) z`` for
     ``j = 0..N`` (``N + 1 = mu_out.shape[0]``) in one recurrence pass.
@@ -247,6 +243,7 @@ def spectral_moments(op, degree, *, bounds, probes=8, key=None, mesh=None):
     """Host-f64 Chebyshev moment vector ``(degree + 1,)`` of ``op`` over
     the enclosure ``bounds`` (see :func:`_kpm_moments`).  Costs
     ``probes * (degree + 1)`` matvecs."""
+    assert int(degree) >= 1, f"degree={degree}: the recurrence needs >= 1"
     lmin, lmax = float(bounds[0]), float(bounds[1])
     n = op.shape[0]
     wdtype = op.dtype
@@ -617,25 +614,30 @@ def eigsh_filtered(
         lmin, lmax, sin_eff, 0.25 * w_own, cap=8000))))
     cdeg = int(min(degree, max(150, _auto_degree(
         lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
-    if all_inside or subspace is None:
-        mdeg = max(cdeg2 if all_inside else 0,
-                   cdeg if subspace is None else 0)
-        mu = spectral_moments(op, mdeg, bounds=(lmin, lmax), probes=probes,
-                              key=kz, mesh=mesh)
-        matvecs += probes * (mdeg + 1)
+    kz1, kz2 = jax.random.split(kz)
     if all_inside:
-        expected = count_from_moments(mu, (a_m, b_m), (lmin, lmax),
-                                      degree=cdeg2)
+        # The OWNED count arms the empty-window collapse guard, and the
+        # guard's value rests on being statistically INDEPENDENT of the
+        # sizing count: one unlucky probe draw may defeat either, but
+        # only an unlucky pair defeats both (p^2, not p).  So the owned
+        # count gets its own probe draw rather than a truncation of the
+        # sizing moments.
+        mu2 = spectral_moments(op, cdeg2, bounds=(lmin, lmax),
+                               probes=probes, key=kz2, mesh=mesh)
+        matvecs += probes * (cdeg2 + 1)
+        expected = count_from_moments(mu2, (a_m, b_m), (lmin, lmax))
     if subspace is not None:
         s = int(subspace)
     else:
+        mu = spectral_moments(op, cdeg, bounds=(lmin, lmax), probes=probes,
+                              key=kz1, mesh=mesh)
+        matvecs += probes * (cdeg + 1)
         # Size the subspace from the CAPTURE-window eigenvalue count.  The
         # owned cluster gets 2x oversampling in all-inside mode (missing a
         # tail pair is a completeness failure) / 1.5x otherwise; the
         # transition-band surplus (capture minus owned) only needs to be
         # PRESENT in the subspace, not completeness-guarded — 1.25x.
-        count = max(count_from_moments(mu, (lo_c, hi_c), (lmin, lmax),
-                                       degree=cdeg), 0.0)
+        count = max(count_from_moments(mu, (lo_c, hi_c), (lmin, lmax)), 0.0)
         if all_inside:
             owned = min(max(expected, 0.0), count)
             s = int(np.ceil(2.0 * owned + 1.25 * (count - owned))) + 8

@@ -132,6 +132,14 @@ class TestPieces:
             true = int(((full >= win[0]) & (full <= win[1])).sum())
             est = count_from_moments(mu800, win, bounds)
             assert abs(est - true) < 0.3 * true + 3, (win, est, true)
+        # the truncation branch RE-DAMPS (degree-specific Jackson
+        # coefficients), it does not just slice mu — drivers rely on it
+        # for their sizing counts
+        win = (-2.5, -1.5)
+        tr = count_from_moments(mu800, win, bounds, degree=300)
+        direct = count_from_moments(mu300, win, bounds)
+        np.testing.assert_allclose(tr, direct, rtol=1e-10)
+        assert abs(tr - count_from_moments(mu800, win, bounds)) > 1e-6
 
     def test_active_rows_buckets(self):
         # soft-locking row selection: unconverged rows first, padded with
