@@ -754,6 +754,40 @@ bool swap_adjacent_blocks_d(int n, double *T, double *Q, int j, int p,
       for (int i = col; i < w; ++i) W[k * w + i] -= s * v[i];
     }
   }
+  // dlaexc-style stability gate: rehearse the similarity on the w x w
+  // window alone and reject the swap unless the block that must vanish
+  // actually does.  Near-equal spectra make X (and hence W's rotation
+  // angle error) huge; the pivot test in the Sylvester solve alone never
+  // fires on such systems (the Kronecker matrix is ill-conditioned, not
+  // exactly singular), and committing the swap would zero a sub-block
+  // holding O(||X|| eps ||T||) ~ O(||T||) residue.  LAPACK's dlaexc
+  // applies the same rehearse-then-test with thresh = 10 eps ||D||.
+  {
+    double D[16], WD[16], WDW[16];
+    double dnorm = 0.0;
+    for (int i = 0; i < w; ++i)
+      for (int k = 0; k < w; ++k) {
+        D[i * w + k] = atd(T, n, j + i, j + k);
+        dnorm = std::max(dnorm, std::abs(D[i * w + k]));
+      }
+    for (int i = 0; i < w; ++i)
+      for (int k = 0; k < w; ++k) {
+        double acc = 0.0;
+        for (int l = 0; l < w; ++l) acc += W[l * w + i] * D[l * w + k];
+        WD[i * w + k] = acc;
+      }
+    for (int i = 0; i < w; ++i)
+      for (int k = 0; k < w; ++k) {
+        double acc = 0.0;
+        for (int l = 0; l < w; ++l) acc += WD[i * w + l] * W[l * w + k];
+        WDW[i * w + k] = acc;
+      }
+    double thresh = std::max(10.0 * 2.220446049250313e-16 * dnorm, 1e-300);
+    for (int i = q; i < w; ++i)
+      for (int k = 0; k < q; ++k)
+        if (std::abs(WDW[i * w + k]) > thresh) return false;
+  }
+
   // Similarity on the window: T <- (I x W^T) T (I x W), Q <- Q W.
   std::vector<double> tmp((size_t)w * n);
   for (int i = 0; i < w; ++i)  // rows: W^T * T[j..j+w)

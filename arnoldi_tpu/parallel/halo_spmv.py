@@ -69,8 +69,10 @@ def banded_matvec_halo(op: BandedOperator, x, mesh, axis_name="rows",
         bwd = [(i, (i - 1) % d) for i in range(d)]   # send left
         # our right halo = left edge of the right neighbour (comes backward)
         right_halo = lax.ppermute(x_loc[:halo], axis_name, bwd)
-        # our left halo = right edge of the left neighbour (comes forward)
-        left_halo = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+        # our left halo = right edge of the left neighbour (comes forward).
+        # Explicit start (NOT x_loc[-halo:]): halo == 0 (purely diagonal
+        # stored sparsity) must select an EMPTY window, not the whole shard.
+        left_halo = lax.ppermute(x_loc[n_local - halo:], axis_name, fwd)
         ydt = jnp.result_type(bands_loc.dtype, x_loc.dtype)
         pad = jnp.zeros(halo, x_loc.dtype)
 
@@ -160,7 +162,8 @@ def ell_matvec_halo(op, x, mesh, axis_name="rows", halo=None, overlap=True):
         fwd = [(i, (i + 1) % d) for i in range(d)]
         bwd = [(i, (i - 1) % d) for i in range(d)]
         right_halo = lax.ppermute(x_loc[:halo], axis_name, bwd)
-        left_halo = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+        # explicit start: halo == 0 must give an empty window (see banded)
+        left_halo = lax.ppermute(x_loc[n_local - halo:], axis_name, fwd)
 
         def ext_rows(data_r, cols_r, x_ext):
             # Global -> local-extended column remap.  Padding slots point
@@ -231,7 +234,8 @@ def bsr_matvec_halo(op, x, mesh, axis_name="rows", halo_blocks=None,
         xb = x_loc.reshape(nb_local, c)
         h = halo_blocks
         right_halo = lax.ppermute(xb[:h], axis_name, bwd)
-        left_halo = lax.ppermute(xb[-h:], axis_name, fwd)
+        # explicit start: h == 0 must give an empty window (see banded)
+        left_halo = lax.ppermute(xb[nb_local - h:], axis_name, fwd)
 
         def ext_rows(blocks_r, bcols_r, xb_ext):
             local = jnp.clip(bcols_r - me * nb_local + h,
@@ -272,7 +276,8 @@ def _dw_halo_exchange(x_loc_pairs, halo, axis_name):
     out = []
     for x_loc in x_loc_pairs:
         right = lax.ppermute(x_loc[:halo], axis_name, bwd)
-        left = lax.ppermute(x_loc[-halo:], axis_name, fwd)
+        # explicit start: halo == 0 must give an empty window (see banded)
+        left = lax.ppermute(x_loc[x_loc.shape[0] - halo:], axis_name, fwd)
         out.append(jnp.concatenate([left, x_loc, right], axis=0))
     return out
 

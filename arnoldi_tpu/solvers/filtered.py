@@ -426,6 +426,43 @@ def _pending_gains(op, X, pending, coeffs, lmin, lmax):
     return gains[:p]
 
 
+def _ghost_gate(trace, sweep, pick, inside, res, theta, tol_abs, nev,
+                center, scale, gains_fn):
+    """Stall-triggered ghost discrimination, shared by the coarse and dw
+    sweep loops (see :func:`_filter_gains` for the physics).
+
+    Once the residual trace stalls with a small pending set among
+    converged neighbors, ``gains_fn(pending)`` (one filter application on
+    those rows) separates slow TRUE pairs (gain >= 0.9, keep waiting)
+    from Ritz ghosts (gain < 0.5, drop from the gate AND the returned
+    set).  Converged pairs need no check — a mixture of far-apart
+    eigendirections cannot have a small residual.
+
+    Returns ``(pick, inside, n_ghost, n_checked)``; ``n_checked`` is the
+    8-bucketed row count actually filtered (0 when the gate did not fire)
+    for the caller's matvec accounting.  ``trace[-1]`` is rewritten to
+    the surviving pick's max relative residual when ghosts are dropped.
+    """
+    stalled = (sweep >= 2 and np.isfinite(trace[-1])
+               and trace[-1] > 0.7 * trace[-3])
+    if not (stalled and pick.size):
+        return pick, inside, 0, 0
+    pending = pick[res[pick] > tol_abs]
+    if not (0 < pending.size <= max(8, int(np.ceil(0.25 * pick.size)))):
+        return pick, inside, 0, 0
+    n_checked = int(-(-pending.size // 8) * 8)
+    ghost = pending[gains_fn(pending) < 0.5]
+    if not ghost.size:
+        return pick, inside, 0, n_checked
+    inside = inside[~np.isin(inside, ghost)]
+    if nev is None:
+        pick = inside
+    else:
+        pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
+    trace[-1] = float(res[pick].max() / scale) if pick.size else np.inf
+    return pick, inside, int(ghost.size), n_checked
+
+
 def _filter_rr_step(op, X, coeffs, lmin, lmax, active=None):
     """One filtered subspace sweep: filter (all rows, or only the
     ``active`` soft-locking subset — see :func:`_filter_scatter_gram`),
@@ -478,11 +515,21 @@ def eigsh_filtered(
     key=None,
     refine="auto",
     mesh=None,
+    _orig=None,
+    _census_mu=None,
 ):
     """``nev`` eigenpairs of a HERMITIAN operator inside ``interval=(a, b)``
     by Chebyshev-filtered subspace iteration — interior spectrum WITHOUT
     shift-invert (no factorization, no inner solves; every step is
     ``degree`` matvecs per subspace vector).
+
+    ``_orig``/``_census_mu`` are :func:`eigsh_window`'s private plumbing:
+    the slicing driver passes its already-built (and mesh-sharded)
+    operator as ``A``, the ORIGINAL matrix as ``_orig`` (the dw tier's
+    cast residual must target the true f64 matrix, not the f32 operator),
+    and its census moment vector as ``_census_mu`` (reused for the sizing
+    count when long enough; the collapse-guard count stays an independent
+    draw regardless).
 
     Parameters
     ----------
@@ -629,9 +676,12 @@ def eigsh_filtered(
     if subspace is not None:
         s = int(subspace)
     else:
-        mu = spectral_moments(op, cdeg, bounds=(lmin, lmax), probes=probes,
-                              key=kz1, mesh=mesh)
-        matvecs += probes * (cdeg + 1)
+        if _census_mu is not None and cdeg <= len(_census_mu) - 1:
+            mu = _census_mu   # moments are window-independent; free reuse
+        else:
+            mu = spectral_moments(op, cdeg, bounds=(lmin, lmax),
+                                  probes=probes, key=kz1, mesh=mesh)
+            matvecs += probes * (cdeg + 1)
         # Size the subspace from the CAPTURE-window eigenvalue count.  The
         # owned cluster gets 2x oversampling in all-inside mode (missing a
         # tail pair is a completeness failure) / 1.5x otherwise; the
@@ -689,7 +739,7 @@ def eigsh_filtered(
             op, X, coeffs, lmin, lmax,
             active=_active_rows(res_prev, tol * scale, s))
         res_prev = res_h
-        matvecs += degree * n_f + 2 * s
+        matvecs += degree * n_f + s   # filter + the Rayleigh-Ritz matmat
         inside = np.nonzero((theta_h >= a_m) & (theta_h <= b_m))[0]
         # The break test checks EXACTLY the pairs that would be returned:
         # the nev nearest-center inside the OWNED window (or all owned
@@ -703,33 +753,13 @@ def eigsh_filtered(
             pick = inside[np.argsort(np.abs(theta_h[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res_h[pick].max() / scale) if pick.size else np.inf)
-        # Ghost discrimination (see _filter_gains): once the trace stalls
-        # with a small pending set among converged neighbors, one filter
-        # application on the pending rows separates slow TRUE pairs
-        # (gain >= 0.9, keep waiting) from Ritz ghosts (gain < 0.5, drop
-        # from the gate AND the returned set).  Converged pairs need no
-        # check — a mixture of far-apart eigendirections cannot have a
-        # small residual.
         trace = history.residual_trace
-        stalled = (sweep >= 2 and np.isfinite(trace[-1])
-                   and trace[-1] > 0.7 * trace[-3])
-        n_ghost = 0
-        if stalled and pick.size:
-            pending = pick[res_h[pick] > tol * scale]
-            if 0 < pending.size <= max(8, int(np.ceil(0.25 * pick.size))):
-                gains = _pending_gains(op, X, pending, coeffs, lmin, lmax)
-                matvecs += degree * int(-(-pending.size // 8) * 8)
-                ghost = pending[gains < 0.5]
-                if ghost.size:
-                    n_ghost = int(ghost.size)
-                    inside = inside[~np.isin(inside, ghost)]
-                    if all_inside:
-                        pick = inside
-                    else:
-                        pick = inside[np.argsort(
-                            np.abs(theta_h[inside] - center))[:nev]]
-                    trace[-1] = (float(res_h[pick].max() / scale)
-                                 if pick.size else np.inf)
+        pick, inside, n_ghost, n_chk = _ghost_gate(
+            trace, sweep, pick, inside, res_h, theta_h, tol * scale, nev,
+            center, scale,
+            lambda pending: _pending_gains(op, X, pending, coeffs, lmin,
+                                           lmax))
+        matvecs += degree * n_chk
         if verbose:
             print(f"[filtered] sweep {sweep}: degree={degree} s={s} "
                   f"filtered={n_f} "
@@ -770,7 +800,11 @@ def eigsh_filtered(
         from .refine import build_cast_residual_operator, cast_operator_f32
 
         op32 = cast_operator_f32(op)  # sharding-preserving (astype)
-        op_lo = build_cast_residual_operator(A, op32)
+        # the cast residual must come from the TRUE (f64) matrix — when
+        # eigsh_window passes a pre-built f32 operator as A, the original
+        # rides in _orig
+        op_lo = build_cast_residual_operator(
+            A if _orig is None else _orig, op32)
         if mesh is not None and op_lo is not None:
             from ..parallel.sharded import shard_operator
 
@@ -797,7 +831,11 @@ def eigsh_filtered(
         if pick.size:
             idx = jnp.asarray(pick)
             vals = theta_r[pick]
-            vecs = dw_to_f64(np.asarray(Xh_r[idx]), np.asarray(Xl_r[idx])).T
+            # ONE batched device_get: both limb slices in flight together
+            # (two sequential pulls serialize the ~200 ms tunnel latency;
+            # same pattern as the refine.py output path)
+            hi, lo = jax.device_get((Xh_r[idx], Xl_r[idx]))
+            vecs = dw_to_f64(hi, lo).T
         else:
             vals = np.empty(0)
             vecs = np.empty((n, 0))
@@ -1028,34 +1066,20 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
             pick = inside[np.argsort(np.abs(theta[inside] - center))[:nev]]
         history.residual_trace.append(
             float(res[pick].max() / scale) if pick.size else np.inf)
-        # Ghost discrimination, dw edition (see _filter_gains and the
-        # coarse loop): a ghost that rode in from the coarse subspace (or
-        # emerged as the dw Ritz rotation sharpened theta placement) stalls
-        # the all-converged gate exactly as in f32.  The gain check runs in
-        # plain f32 on the high limb — a 0.5 threshold needs no
-        # compensation.
+        # dw edition of the ghost gate: a ghost that rode in from the
+        # coarse subspace (or emerged as the dw Ritz rotation sharpened
+        # theta placement) stalls the all-converged gate exactly as in
+        # f32.  The gain check runs in plain f32 on the high limb — a
+        # 0.5 threshold needs no compensation.
         trace = history.residual_trace
-        stalled = (sweep >= 2 and np.isfinite(trace[-1])
-                   and trace[-1] > 0.7 * trace[-3])
-        n_ghost = 0
-        if stalled and pick.size:
-            pending = pick[res[pick] > tol * scale]
-            if 0 < pending.size <= max(8, int(np.ceil(0.25 * pick.size))):
-                gains = _pending_gains(op32, Xh, pending,
-                                       jnp.asarray(coeffs, Xh.dtype),
-                                       lmin, lmax)
-                matvecs += degree * int(-(-pending.size // 8) * 8)
-                ghost = pending[gains < 0.5]
-                if ghost.size:
-                    n_ghost = int(ghost.size)
-                    inside = inside[~np.isin(inside, ghost)]
-                    if nev is None:
-                        pick = inside
-                    else:
-                        pick = inside[np.argsort(
-                            np.abs(theta[inside] - center))[:nev]]
-                    trace[-1] = (float(res[pick].max() / scale)
-                                 if pick.size else np.inf)
+        pick, inside, n_ghost, n_chk = _ghost_gate(
+            trace, sweep, pick, inside, res, theta, tol * scale, nev,
+            center, scale,
+            lambda pending: _pending_gains(op32, Xh,
+                                           pending,
+                                           jnp.asarray(coeffs, Xh.dtype),
+                                           lmin, lmax))
+        matvecs += degree * n_chk
         if os.environ.get("ARNOLDI_FILTER_VERBOSE"):
             print(f"[filtered/dw] sweep {sweep}: filtered={n_f} "
                   f"inside={inside.size} ghosts={n_ghost} "
@@ -1172,10 +1196,16 @@ def eigsh_window(
         lo, hi = float(cuts[i]), float(cuts[i + 1])
         if hi <= lo:
             continue
+        # pass the BUILT (and mesh-sharded) operator — rebuilding and
+        # re-uploading per slice cost O(nnz) host work + a device transfer
+        # each (minutes through the tunnel at the 1M-row scale); the
+        # original A rides along for the dw tier's cast residual, and the
+        # census moments serve each slice's sizing count when long enough
         vals_i, vecs_i, hist_i = eigsh_filtered(
-            A, None, (lo, hi), degree=degree, tol=tol,
+            op, None, (lo, hi), degree=degree, tol=tol,
             max_iters=max_iters, bounds=(lmin, lmax), dtype=dtype,
-            key=jax.random.fold_in(ks, i), refine=refine, mesh=mesh)
+            key=jax.random.fold_in(ks, i), refine=refine, mesh=mesh,
+            _orig=A, _census_mu=mu)
         matvecs += hist_i.total_matvecs
         sweeps += int(hist_i.restarts.max()) if hist_i.restarts.size else 0
         trace.extend(hist_i.residual_trace)

@@ -155,8 +155,9 @@ def partial_schur(
         the SAME Krylov-Schur loop continues in compensated float32-pair
         arithmetic (``solvers/refine.py``) warm-started from the f32 Schur
         basis, down to ``stopping_criterion``.  "auto" engages when the
-        work dtype is real float32, the requested tolerance is < 1e-6, and
-        no mesh is given.  When refinement runs, the returned Q and T are
+        work dtype is real float32 and the requested tolerance is < 1e-6
+        (with or without a mesh — the dw kernels are GSPMD-sharded under
+        one).  When refinement runs, the returned Q and T are
         float64 HOST arrays (a plain f32 array cannot represent a 1e-8
         subspace).
 
@@ -555,7 +556,7 @@ def partial_schur(
     if do_refine and tol_target < tol:
         # Double-word phase: same restart loop, compensated arithmetic,
         # warm-started from the converged f32 Schur basis.
-        from .refine import (build_cast_residual_operator, cast_operator_f32,
+        from .refine import (build_padded_cast_residual, cast_operator_f32,
                              refine_schur_dw, refinement_start_vector)
 
         op32 = cast_operator_f32(op)
@@ -571,26 +572,9 @@ def partial_schur(
         if refine_op_lo is not None:
             op_lo = refine_op_lo
         else:
-            A_lo_src = A
-            if n_solve != n:
-                # The mesh path padded the operator; pad the exact source
-                # identically so the cast residual shares the layout.
-                import scipy.sparse as sp
-
-                if sp.issparse(A):
-                    A_lo_src = sp.csr_matrix(A).copy()
-                    A_lo_src.resize(n_solve, n_solve)
-                elif isinstance(A, np.ndarray):
-                    A_lo_src = np.zeros((n_solve, n_solve), A.dtype)
-                    A_lo_src[:n, :n] = A
-                else:
-                    A_lo_src = None
-            op_lo = (build_cast_residual_operator(A_lo_src, op32)
-                     if A_lo_src is not None else None)
-            if op_lo is not None and mesh is not None:
-                from ..parallel.sharded import shard_operator
-
-                op_lo = shard_operator(op_lo, mesh)
+            # The mesh path padded the operator; the helper pads the exact
+            # source identically so the cast residual shares the layout.
+            op_lo = build_padded_cast_residual(A, op32, n_solve, mesh=mesh)
         # Each dw iteration costs a few f32 ones, and the warm start means
         # convergence needs few restarts — a compact refinement subspace
         # (not the full f32-phase max_dim) minimizes total dw work.

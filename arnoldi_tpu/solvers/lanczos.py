@@ -328,31 +328,14 @@ def partial_eigh(
         tol = max(tol, 2e-4)
 
     def _refine_result(V_rows, hist):
-        from .refine import (build_cast_residual_operator, cast_operator_f32,
+        from .refine import (build_padded_cast_residual, cast_operator_f32,
                              refine_schur_dw, refinement_start_vector)
 
         op32 = cast_operator_f32(op)
         # Device-side mix: never pull the basis rows to the host just to
         # build one start vector (see partial_schur).
         v0r = refinement_start_vector(V_rows, nev)
-        A_lo_src = A
-        if n_solve != n:
-            import scipy.sparse as sp
-
-            if sp.issparse(A):
-                A_lo_src = sp.csr_matrix(A).copy()
-                A_lo_src.resize(n_solve, n_solve)
-            elif isinstance(A, np.ndarray):
-                A_lo_src = np.zeros((n_solve, n_solve), A.dtype)
-                A_lo_src[:n, :n] = A
-            else:
-                A_lo_src = None
-        op_lo = (build_cast_residual_operator(A_lo_src, op32)
-                 if A_lo_src is not None else None)
-        if op_lo is not None and mesh is not None:
-            from ..parallel.sharded import shard_operator
-
-            op_lo = shard_operator(op_lo, mesh)
+        op_lo = build_padded_cast_residual(A, op32, n_solve, mesh=mesh)
         max_dim_r = min(max_dim, max(2 * nev + 6, 16))
         p_r = min(nev + 5, max_dim_r - 1)
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(

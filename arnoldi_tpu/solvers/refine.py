@@ -448,6 +448,34 @@ def build_cast_residual_operator(A, op):
     return None
 
 
+def build_padded_cast_residual(A, op32, n_solve, mesh=None):
+    """:func:`build_cast_residual_operator` for a possibly PADDED solve
+    size (shared by the Krylov-Schur and Lanczos refine paths): pad the
+    exact source to ``n_solve`` so the residual shares the f32 operator's
+    layout, build the residual operator, and shard it under ``mesh``.
+    Returns None when ``A``'s type carries no exact f64 source."""
+    import scipy.sparse as sp
+
+    n = A.shape[0] if hasattr(A, "shape") else None
+    src = A
+    if n is not None and n_solve != n:
+        if sp.issparse(A):
+            src = sp.csr_matrix(A).copy()
+            src.resize(n_solve, n_solve)
+        elif isinstance(A, np.ndarray):
+            src = np.zeros((n_solve, n_solve), A.dtype)
+            src[:n, :n] = A
+        else:
+            src = None
+    op_lo = (build_cast_residual_operator(src, op32)
+             if src is not None else None)
+    if op_lo is not None and mesh is not None:
+        from ..parallel.sharded import shard_operator
+
+        op_lo = shard_operator(op_lo, mesh)
+    return op_lo
+
+
 def refinement_start_vector(Vt, nev_ret):
     """Deterministic start vector for the dw phase: a fixed-weight mix of
     the converged f32 Schur basis rows (weights 1/(i+1) prevent accidental

@@ -148,7 +148,11 @@ def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
 
     def inv_mv(b):
         if stats is not None:
-            stats.solves += 1  # traced once per outer-matvec call site
+            # host callback, NOT a Python increment: inv_mv runs inside
+            # the jitted outer expansion, so a plain += would count traces
+            # (1-2), not solves (hundreds).  Same mechanism and same
+            # CPU-only caveat as the inner-matvec counter.
+            jax.debug.callback(_count_inner_solve, stats)
         x, _ = solve_fn(shifted_mv, b, tol=inner_tol, maxiter=maxiter,
                         M=M.matvec if M is not None else None, **extra)
         return x
@@ -160,6 +164,10 @@ def shift_invert_operator(A, sigma, *, solver="bicgstab", inner_tol=1e-10,
 
 def _count_inner_mv(stats):
     stats.inner_matvecs += 1
+
+
+def _count_inner_solve(stats):
+    stats.solves += 1
 
 
 def _transform_back(theta, sigma):

@@ -45,6 +45,57 @@ def test_matches_dense(gen, n, mesh, overlap):
     assert len(y.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize("overlap", [False, True])
+def test_zero_halo_diagonal(mesh, overlap):
+    # halo == 0 (purely diagonal stored sparsity) regression: the
+    # x_loc[-halo:] idiom selected the WHOLE shard, so every shard's
+    # extended window was the left neighbour's values shifted by n_local
+    # (measured error ~1e2 on a diagonal operator).  All four halo
+    # kernels (banded/ell/bsr, f32 and dw) must treat 0 as "no exchange".
+    import scipy.sparse as sp
+
+    from arnoldi_tpu.parallel import bsr_matvec_halo, ell_matvec_halo
+
+    n = 512
+    d = np.linspace(1.0, 2.0, n)
+    D = sp.diags(d).tocsr()
+    x = _sharded_x(mesh, n, seed=7)
+    want = d * np.asarray(x)
+
+    bop = shard_operator(as_operator(D, format="banded"), mesh)
+    np.testing.assert_allclose(
+        np.asarray(banded_matvec_halo(bop, x, mesh, overlap=overlap)),
+        want, atol=1e-12)
+    eop = shard_operator(as_operator(D, format="ell"), mesh)
+    np.testing.assert_allclose(
+        np.asarray(ell_matvec_halo(eop, x, mesh, overlap=overlap)),
+        want, atol=1e-12)
+    sbop = shard_operator(as_operator(D, format=("bsr", (8, 8))), mesh)
+    np.testing.assert_allclose(
+        np.asarray(bsr_matvec_halo(sbop, x, mesh, overlap=overlap)),
+        want, atol=1e-12)
+
+
+def test_zero_halo_dw(mesh):
+    import scipy.sparse as sp
+
+    from arnoldi_tpu.parallel import banded_matvec_halo_dw
+
+    n = 512
+    d = np.linspace(1.0, 2.0, n)
+    bop = shard_operator(
+        as_operator(sp.diags(d).tocsr(), format="banded",
+                    dtype=np.float32), mesh)
+    x = _sharded_x(mesh, n, seed=8)
+    xh = jax.device_put(jnp.asarray(np.asarray(x), jnp.float32),
+                        NamedSharding(mesh, P("rows")))
+    xl = jnp.zeros_like(xh)
+    yh, yl = banded_matvec_halo_dw(bop, xh, xl, mesh)
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    np.testing.assert_allclose(got, d * np.asarray(xh, np.float64),
+                               rtol=1e-6)
+
+
 def test_halo_too_large_raises(mesh):
     op = as_operator(laplace_2d(16))  # n=256, halo=16, n_local=32 fine
     sop = shard_operator(op, mesh)

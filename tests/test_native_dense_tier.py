@@ -178,3 +178,56 @@ class TestNativeRealSchur:
             monkeypatch.undo()
             np.testing.assert_allclose(np.abs(vn), np.abs(vs), atol=1e-9)
             assert np.abs(Zn @ Tn @ Zn.T - A).max() < 1e-11
+
+    def test_degenerate_swap_rejected_native(self):
+        # Two IDENTICAL complex pairs: the direct-swap Sylvester system is
+        # singular and the rehearsed similarity cannot zero the sub-block.
+        # The native tier must refuse (rc=1 -> RuntimeError) instead of
+        # committing a corrupted T; the driver then falls back to LAPACK.
+        from arnoldi_tpu.native import dense_tier as nat
+        import pytest
+
+        if not nat.available():
+            pytest.skip("native tier not built")
+
+        def rot(a, b):
+            return np.array([[a, b], [-b, a]])
+
+        T = np.zeros((4, 4))
+        T[:2, :2] = rot(1.0, 0.5)
+        T[2:, 2:] = rot(1.0, 0.5)
+        T[:2, 2:] = np.array([[1.0, 2.0], [3.0, 4.0]])
+        with pytest.raises(RuntimeError, match="reorder_blocks_d"):
+            nat.reorder_blocks_real(T, np.eye(4),
+                                    np.array([1, 0], np.int32))
+        # a well-separated swap of the same shape still goes through
+        T2 = T.copy()
+        T2[2:, 2:] = rot(-2.0, 0.3)
+        Tn, Qn = nat.reorder_blocks_real(T2, np.eye(4),
+                                         np.array([1, 0], np.int32))
+        assert np.abs(Qn.T @ T2 @ Qn - Tn).max() < 1e-12
+
+    def test_degenerate_pairs_full_driver(self):
+        # ordered_schur_real on a matrix with a DOUBLE complex pair stays
+        # a valid Schur form (similarity + orthogonality exact); the
+        # eigenvalue split ~sqrt(eps) is the problem's own sensitivity.
+        import arnoldi_tpu.ops.dense_tier as dt
+        from arnoldi_tpu.utils.sorting import arg_largest_real
+
+        def rot(a, b):
+            return np.array([[a, b], [-b, a]])
+
+        rng = np.random.default_rng(0)
+        T0 = np.zeros((6, 6))
+        T0[:2, :2] = rot(1.0, 0.5)
+        T0[2:4, 2:4] = rot(-2.0, 0.3)
+        T0[4:, 4:] = rot(1.0, 0.5)
+        T0[:2, 2:] = rng.standard_normal((2, 4))
+        T0[2:4, 4:] = rng.standard_normal((2, 2))
+        Q0, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+        A = Q0 @ T0 @ Q0.T
+        T, Z, vals = dt.ordered_schur_real(A, sort_function=arg_largest_real)
+        assert np.abs(Z.T @ A @ Z - T).max() < 1e-12
+        assert np.abs(Z.T @ Z - np.eye(6)).max() < 1e-13
+        # ordering: the double 1.0-pair leads, the -2 pair trails
+        assert np.real(vals)[:4].min() > 0.9 and np.real(vals)[-1] < 0

@@ -170,6 +170,14 @@ class TestShiftInvertRobustness:
         _ = np.asarray(op.matvec(jnp.ones(60)))
         assert op.inner_stats.solves >= 1
         assert op.inner_stats.inner_matvecs > 1
+        # solves counts APPLICATIONS, not jit traces: the same compiled
+        # matvec applied k times must report k solves (host callback, the
+        # regression was a traced Python increment stuck at 1).
+        before = op.inner_stats.solves
+        f = jax.jit(op.matvec)
+        for _ in range(3):
+            _ = np.asarray(f(jnp.ones(60)))
+        assert op.inner_stats.solves == before + 3, op.inner_stats.solves
 
 
 class TestRealifiedAdversarial:
