@@ -232,7 +232,9 @@ class BandedOperator:
                 m = min(n + off, W)
                 diag[-off : -off + m] = d.data[k, : m]
             bands[k] = diag
-        nnz = int(sp.csr_matrix(A).count_nonzero())
+        # count from the bands already built — a CSR conversion just for
+        # nnz is an O(nnz) copy on every construction
+        nnz = int(np.count_nonzero(bands))
         return cls(jnp.asarray(bands), offsets, nnz)
 
     def tree_flatten(self):
@@ -432,6 +434,27 @@ def pad_operator(op, n_pad):
     raise TypeError(f"Cannot pad operator of type {type(op)}")
 
 
+def cast_operator(op, dtype):
+    """Cast an operator's stored VALUE arrays to ``dtype`` (identity when
+    already there).  Sharding-preserving: ``astype`` keeps each array's
+    placement.  A :class:`CallableOperator` cannot be cast — its closure
+    owns the dtype — so that raises."""
+    dt = jnp.dtype(dtype)
+    if jnp.dtype(op.dtype) == dt:
+        return op
+    if isinstance(op, BandedOperator):
+        return dataclasses.replace(op, bands=op.bands.astype(dt))
+    if isinstance(op, EllOperator):
+        return dataclasses.replace(op, data=op.data.astype(dt))
+    if isinstance(op, BsrOperator):
+        return dataclasses.replace(op, blocks=op.blocks.astype(dt))
+    if isinstance(op, DenseOperator):
+        return dataclasses.replace(op, A=op.A.astype(dt))
+    raise TypeError(
+        f"cannot cast a {type(op).__name__} (dtype {op.dtype}) to {dtype}; "
+        "wrap a new closure at the wanted dtype instead")
+
+
 def as_operator(A, dtype=None, format=None, backend=None):
     """Coerce ``A`` to a device operator.
 
@@ -440,14 +463,34 @@ def as_operator(A, dtype=None, format=None, backend=None):
     sparse inputs go to ELL unless they are recognisably banded with few
     diagonals (DIA wins for stencils).  ``backend='pallas'`` selects the
     Pallas TPU kernels for sparse formats.
+
+    Every argument is HONOURED for every input kind: an existing operator
+    is dtype-cast when ``dtype`` differs (see :func:`cast_operator`), and a
+    ``format`` that contradicts the input raises rather than being
+    silently ignored.
     """
     import scipy.sparse as sp
 
     if isinstance(A, LinearOperator):
+        if format is not None:
+            fmt = format[0] if isinstance(format, tuple) else format
+            have = {DenseOperator: "dense", BandedOperator: "banded",
+                    EllOperator: "ell", BsrOperator: "bsr"}.get(type(A))
+            if have != fmt:
+                raise ValueError(
+                    f"as_operator(format={format!r}) on an existing "
+                    f"{type(A).__name__}: operators are not re-formatted — "
+                    "build from the scipy/dense source instead")
+        if dtype is not None:
+            A = cast_operator(A, dtype)
         if backend is not None and hasattr(A, "backend") and A.backend != backend:
             return dataclasses.replace(A, backend=backend)
         return A
     if isinstance(A, (np.ndarray, jax.Array)):
+        if format not in (None, "dense"):
+            raise ValueError(
+                f"format={format!r} is not available for dense array "
+                "input; convert to scipy.sparse first")
         arr = jnp.asarray(A, dtype=dtype)
         return DenseOperator(arr)
     if sp.issparse(A):

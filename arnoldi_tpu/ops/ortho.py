@@ -186,7 +186,14 @@ def block_cgs2(Vt, W, n_active, *, tol=1e-8):
         G = jnp.matmul(W, W.conj().T, precision=_PREC)  # (b, b)
         # Regularize so cholesky never NaNs on a rank-deficient block; the
         # breakdown flag is raised from the diagonal magnitude instead.
-        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))), 1.0)
+        # The shift scale is RELATIVE to the block's own magnitude (floored
+        # only at tiny to keep an exactly-zero block finite): an absolute
+        # floor of 1.0 made the shift dominate any SMALL residual block
+        # (row norms ~1e-7 in f32), returning a non-normalized Q with the
+        # breakdown flag unraised — the block analog of the scalar path's
+        # exact w/beta normalization must handle small-but-healthy blocks.
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))),
+                            jnp.finfo(Vt.dtype).tiny)
         L = cholesky(G + (eps * scale) * jnp.eye(b, dtype=Vt.dtype),
                      lower=True)
         Q = solve_triangular(L, W, lower=True)
@@ -202,9 +209,13 @@ def block_cgs2(Vt, W, n_active, *, tol=1e-8):
     # Rank deficiency: a diagonal entry collapsed either below the absolute
     # tolerance or relative to the block's own scale (the chol
     # regularization floors it near sqrt(eps * scale), so the relative test
-    # is what actually detects dependent directions).
+    # is what actually detects dependent directions).  A non-finite
+    # diagonal (the TPU f32 cholesky NaNs on some rank-deficient Grams
+    # despite the shift — see CLAUDE.md) must read as breakdown, not
+    # fail-open through a False comparison.
     rel_floor = 10.0 * jnp.sqrt(eps) * jnp.max(diag)
-    breakdown = jnp.min(diag) < jnp.maximum(tol, rel_floor)
+    breakdown = (jnp.min(diag) < jnp.maximum(tol, rel_floor)
+                 ) | ~jnp.all(jnp.isfinite(diag))
     return C, Q, R, breakdown
 
 

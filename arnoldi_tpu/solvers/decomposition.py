@@ -300,41 +300,9 @@ class RitzDecomposition:
         """
         if max_dim is None:
             max_dim = V.shape[1] - 1
-        assert H.shape[0] > max_dim
-        assert H.shape[1] >= max_dim
-        assert V.shape[1] > max_dim
-        assert n_ritz <= max_dim
-        if sort_function is None:
-            sort_function = arg_largest_magnitude
-
-        H_host = np.asarray(H)
-        H_m = H_host[:max_dim, :max_dim]
-        eigvals, eigvecs = np.linalg.eig(H_m)
-        ind = np.asarray(sort_function(eigvals))[:n_ritz]
-        S = eigvecs[:, ind]
-
-        ritz_values = eigvals[ind]
-        # Tall matmul on device: (n, m) @ (m, k).
-        V_m = jnp.asarray(V)[:, :max_dim]
-        if np.iscomplexobj(S) and not jnp.issubdtype(
-            V_m.dtype, jnp.complexfloating
-        ):
-            # Real basis (TPU path, no complex dtypes on device): two real
-            # matmuls recombined on the host.
-            vr = np.asarray(jnp.matmul(V_m, jnp.asarray(S.real, V_m.dtype),
-                                       precision=jax.lax.Precision.HIGHEST))
-            vi = np.asarray(jnp.matmul(V_m, jnp.asarray(S.imag, V_m.dtype),
-                                       precision=jax.lax.Precision.HIGHEST))
-            # stays a host array: the TPU device cannot hold complex values
-            ritz_vectors = vr + 1j * vi
-        else:
-            ritz_vectors = jnp.matmul(
-                V_m, jnp.asarray(S, dtype=V_m.dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        approximate_residuals = np.abs(H_host[max_dim, max_dim - 1] * S[-1])
-        return cls(ritz_values, ritz_vectors, approximate_residuals)
+        return cls.from_vt_and_h(jnp.asarray(V).T, H, n_ritz,
+                                 max_dim=max_dim,
+                                 sort_function=sort_function)
 
     @classmethod
     def from_vt_and_h(cls, Vt, H, n_ritz, *, max_dim=None, sort_function=None):
@@ -350,7 +318,13 @@ class RitzDecomposition:
         if sort_function is None:
             sort_function = arg_largest_magnitude
 
+        # Host dense tier always float64 (CLAUDE.md invariant): an f32
+        # sgeev puts ~1e-6-relative noise on Ritz values AND the
+        # approximate residuals, which poisons any convergence gate
+        # tighter than ~1e-5.
         H_host = np.asarray(H)
+        H_host = H_host.astype(
+            np.complex128 if np.iscomplexobj(H_host) else np.float64)
         H_m = H_host[:max_dim, :max_dim]
         eigvals, eigvecs = np.linalg.eig(H_m)
         ind = np.asarray(sort_function(eigvals))[:n_ritz]
@@ -381,6 +355,18 @@ class RitzDecomposition:
         """``res[i] = ||A v_i - lambda_i v_i||`` — requires matvecs with A
         (reference ``decomposition.py:134-146``)."""
         op = as_operator(A)
-        AV = op.matmat(self.vectors)
+        vecs = self.vectors
+        if np.iscomplexobj(vecs) and not np.issubdtype(
+                np.dtype(op.dtype), np.complexfloating):
+            # Host complex Ritz vectors over a REAL operator (the
+            # real-basis TPU path in from_vt_and_h): the device cannot
+            # hold complex arrays, so apply A to the real and imaginary
+            # parts separately and recombine on the host.
+            vecs = np.asarray(vecs)
+            vr = np.asarray(op.matmat(jnp.asarray(vecs.real, op.dtype)))
+            vi = np.asarray(op.matmat(jnp.asarray(vecs.imag, op.dtype)))
+            AV = vr + 1j * vi
+            return np.linalg.norm(AV - vecs * self.values[None, :], axis=0)
+        AV = op.matmat(vecs)
         lam = jnp.asarray(self.values, dtype=AV.dtype)
         return np.asarray(jnp.linalg.norm(AV - self.vectors * lam[None, :], axis=0))

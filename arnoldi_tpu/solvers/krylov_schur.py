@@ -338,6 +338,7 @@ def partial_schur(
     total_matvecs += m - start_dim0
 
     nev_ret = nev
+    saturated = 0   # consecutive rank-deficient saturations (see below)
     for restart in range(restart0, max_restarts):
         happy_breakdown = m != max_dim
         if happy_breakdown and m < nev:
@@ -479,10 +480,25 @@ def partial_schur(
             history.matvecs[:] = np.maximum(history.matvecs, total_matvecs)
             history.restarts[:] = np.maximum(history.restarts, restart + 1)
         if (not has_converged) and happy_breakdown and pa >= m:
-            raise ValueError(
-                f"Krylov expansion saturated at dimension {m} without "
-                f"convergence (block rank deficiency); reduce block_size or "
-                f"max_dim, or use the scalar driver")
+            # Saturated expansion without convergence (block rank
+            # deficiency, e.g. eigenvalue multiplicity exceeding the
+            # reachable Krylov space).  The unit-renormalized dead block
+            # re-seeds the next expansion from its own rounding noise —
+            # the block analog of ARPACK's random restart on invariance,
+            # measured to recover missing multiplicity within a few
+            # restarts — so keep going; only REPEATED saturation with a
+            # stagnant residual trace is fatal.
+            saturated += 1
+            rt = history.residual_trace
+            if saturated >= 3 and len(rt) >= 3 and not rt[-1] < 0.5 * rt[-3]:
+                raise ValueError(
+                    f"Krylov expansion saturated at dimension {m} without "
+                    f"convergence (block rank deficiency); reduce "
+                    f"block_size or max_dim, or use the scalar driver")
+            reseed = True
+        else:
+            saturated = 0
+            reseed = False
         if has_converged:
             # A 2x2 block straddling the nev boundary cannot be cut: return
             # nev+1 pairs (ARPACK's k/k+1 contract for real problems).
@@ -495,6 +511,13 @@ def partial_schur(
         H = jnp.asarray(H_new.astype(wdtype))
         if repl is not None:
             H = jax.device_put(H, repl)
+        # After an unconverged saturation, zero the breakdown tolerance for
+        # the NEXT expansion: the dead block's unit-renormalized rounding
+        # noise then extends the space past the invariant subspace (the
+        # block analog of ARPACK's random restart on invariance).  A truly
+        # exact zero block still reads as breakdown via the relative
+        # rank-deficiency floor, so this cannot loop on exact invariance.
+        exp_tol = 0.0 if reseed else tol
         if checkpoint_path:
             # Two-dispatch path so the restart-boundary (truncated) state is
             # materializable for the checkpoint.
@@ -517,19 +540,21 @@ def partial_schur(
                 from .decomposition import _block_expand_jit
 
                 V, H, jb = _block_expand_jit(
-                    op, V, H, tol, start_block=pa // b,
+                    op, V, H, exp_tol, start_block=pa // b,
                     n_blocks=max_dim // b, b=b)
                 n_iter = int(jb) * b
             else:
                 V, H, n_iter = arnoldi_expand(
-                    op, V, H, tol, start_dim=pa, max_dim=max_dim, ortho=ortho
+                    op, V, H, exp_tol, start_dim=pa, max_dim=max_dim,
+                    ortho=ortho
                 )
         elif b > 1:
             from .decomposition import _block_expand_jit
 
             V = _truncate_basis(V, jnp.asarray(Qp, dtype=wdtype), p=pa, m=m,
                                 carry=b)
-            V, H, jb = _block_expand_jit(op, V, H, tol, start_block=pa // b,
+            V, H, jb = _block_expand_jit(op, V, H, exp_tol,
+                                         start_block=pa // b,
                                          n_blocks=max_dim // b, b=b)
             n_iter = int(jb) * b
         else:
@@ -540,7 +565,7 @@ def partial_schur(
             with clock("f32.restart_dispatch"):
                 V, H, n_iter = _truncate_and_expand(
                     op, V, jnp.asarray(Qp, dtype=wdtype), H,
-                    jnp.asarray(tol, jnp.finfo(wdtype).dtype),
+                    jnp.asarray(exp_tol, jnp.finfo(wdtype).dtype),
                     p=pa, m=m, max_dim=max_dim, ortho=ortho,
                 )
                 n_iter = int(n_iter)

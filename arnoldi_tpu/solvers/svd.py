@@ -57,7 +57,8 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
             return _rmatvec(op, op.matvec(x))
 
     gram = CallableOperator(gram_mv, (gram_dim, gram_dim), op.dtype,
-                            nnz=op.nnz)
+                            nnz=op.nnz,
+                            fn_dw=_gram_dw(A, op, transposed))
 
     from .lanczos import partial_eigh
 
@@ -89,6 +90,47 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
         U = op.matmat(V) / jnp.asarray(safe, V.dtype)[None, :]
         U = _renormalize(U)
     return np.asarray(U), s, np.asarray(V).conj().T
+
+
+def _gram_dw(A_src, op, transposed):
+    """Double-word companion matvec for the Gram operator (``fn_dw``), so
+    ``partial_eigh``'s dw refinement can engage for ``svds`` tolerances
+    below the f32 floor.
+
+    The adjoint leg is a MATERIALIZED ``A^H`` operator in a device format
+    with its own cast residual (a compensated scatter-add adjoint per
+    format would duplicate every df32 kernel; a host transpose is one
+    cheap conversion at build time).  Returns None when ``A_src`` carries
+    no exact f64 source (closure input) or the work dtype is not f32 —
+    then the f32 Gram is the exact target and refinement has nothing to
+    recover.
+    """
+    import scipy.sparse as sp
+
+    from ..ops.df32_linop import dw_matvec
+    from .refine import build_cast_residual_operator
+
+    if np.dtype(op.dtype) != np.float32:
+        return None
+    if sp.issparse(A_src):
+        At = sp.csr_matrix(A_src).conj().T.tocsr()
+    elif isinstance(A_src, np.ndarray):
+        At = np.ascontiguousarray(A_src.conj().T)
+    else:
+        return None
+    opT = as_operator(At, dtype=np.float32)
+    lo = build_cast_residual_operator(A_src, op)
+    loT = build_cast_residual_operator(At, opT)
+
+    if transposed:  # gram = A A^H
+        def fn_dw(xh, xl):
+            zh, zl = dw_matvec(opT, xh, xl, loT)
+            return dw_matvec(op, zh, zl, lo)
+    else:           # gram = A^H A
+        def fn_dw(xh, xl):
+            zh, zl = dw_matvec(op, xh, xl, lo)
+            return dw_matvec(opT, zh, zl, loT)
+    return fn_dw
 
 
 def _renormalize(X):

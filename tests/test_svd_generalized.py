@@ -79,6 +79,31 @@ class TestSvds:
         ref = np.linalg.svd(S.todense(), compute_uv=False)[:3]
         np.testing.assert_allclose(s[::-1], ref, rtol=1e-8)
 
+    def test_f32_dw_refinement_engages(self):
+        # svds on the f32 work dtype with tol below the f32 floor: the
+        # Gram CallableOperator must carry fn_dw (composed dw matvecs of
+        # A and a materialized A^H) so partial_eigh's dw refinement
+        # engages — without it the solver ground at an unreachable target
+        # and returned unconverged triplets silently.
+        rng = np.random.default_rng(9)
+        A = rng.standard_normal((80, 50))
+        U, s, Vh = svds(A, 4, tol=1e-9, dtype=np.float32, maxiter=3000,
+                        key=jax.random.key(4))
+        ref = np.linalg.svd(A, compute_uv=False)[:4]
+        np.testing.assert_allclose(s[::-1], ref, rtol=1e-7)
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s, atol=2e-6)
+
+    def test_f32_dw_refinement_sparse_wide(self):
+        import scipy.sparse as sp
+
+        rng = np.random.default_rng(10)
+        A = sp.random(40, 90, density=0.2, random_state=3, format="csr")
+        _, s, _ = svds(A, 3, tol=1e-9, dtype=np.float32, maxiter=3000,
+                       key=jax.random.key(5))
+        ref = np.linalg.svd(A.todense(), compute_uv=False)[:3]
+        np.testing.assert_allclose(np.asarray(s)[::-1], np.asarray(ref),
+                                   rtol=1e-6)
+
     def test_bad_which_raises(self):
         rng = np.random.default_rng(4)
         with pytest.raises(ValueError, match="which"):
