@@ -298,7 +298,7 @@ def _triangular_eigvecs_np(T):
     return S
 
 
-def resolve_straddle(T, Z, cut):
+def resolve_straddle(T, Z, cut, min_keep=0):
     """Make ``cut`` a clean block boundary of the real quasi-triangular
     ``T`` by swapping the straddling 2x2 block one slot across the cut
     (instead of moving the cut — the cut position is a STATIC shape in the
@@ -306,8 +306,11 @@ def resolve_straddle(T, Z, cut):
     compilation per convergence path).
 
     Returns ``(T, Z)`` (unchanged when the cut is already clean).  The
-    swapped neighbour is an unconverged buffer position, so the wanted
-    leading eigenvalues are untouched.
+    relocated 1x1 must come from (and land in) UNCONVERGED buffer
+    positions — ``min_keep`` marks the sort-ranked prefix the caller is
+    about to gate/return (its nev); a relocation that would write into or
+    remove from ``[0, min_keep)`` raises instead, and the caller falls
+    back to stepping the cut.
     """
     T = np.asarray(T)
     n = T.shape[0]
@@ -325,15 +328,19 @@ def resolve_straddle(T, Z, cut):
     after = [j for j in range(idx + 1, len(sizes)) if sizes[j] == 1]
     before = [j for j in range(idx) if sizes[j] == 1]
     order = list(range(len(starts)))
-    if after:
+    # min_keep gates: an "after" 1x1 lands at position cut-1 (must be a
+    # buffer slot); a "before" 1x1 is removed from its own position (must
+    # not be a wanted one).
+    if after and (cut - 1) >= min_keep:
         j = after[0]
         order.insert(idx, order.pop(j))      # 1x1 moves to the pair's slot
-    elif before:
+    elif before and starts[before[-1]] >= min_keep:
         j = before[-1]
         order.insert(idx, order.pop(j))      # 1x1 moves just after the pair
     else:
         raise RuntimeError(
-            "all-2x2 spectrum: no clean cut at this parity exists")
+            "no relocation keeps the wanted prefix intact (all-2x2 parity "
+            "or the cut sits at the wanted boundary)")
 
     nat = _native()
     if nat is not None:

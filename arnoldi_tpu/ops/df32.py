@@ -84,9 +84,10 @@ def _split(a):
 
 def two_prod(a, b):
     """Compensated product: ``(p, e)`` with ``a * b = p + e`` up to
-    O(u^3) relative (the partial products and TwoSum chain are exact; only
-    the final e-accumulation rounds) and ``|e| <= ulp(p)``.  ``p`` may
-    differ from ``fl(a*b)`` by one ulp — irrelevant for double-word use.
+    O(u^2) relative (the partial products and TwoSum chain are exact; the
+    final e-accumulation rounds, contributing up to ~5u^2 |ab|) and
+    ``|e| <= ulp(p)``.  ``p`` may differ from ``fl(a*b)`` by one ulp —
+    irrelevant for double-word use.
 
     Built EXCLUSIVELY from exact partial products of the 12-bit split
     halves plus TwoSum chains, so no floating-point op in it can be

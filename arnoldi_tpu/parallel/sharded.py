@@ -35,7 +35,6 @@ def shard_operator(op, mesh):
     * Dense: shard the rows of A.
     * Banded: bands are (k, n) — shard the second (row) axis.
     """
-    rows1 = row_sharding(mesh, 1)
     rows2 = row_sharding(mesh, 2)
     if isinstance(op, EllOperator):
         return EllOperator(

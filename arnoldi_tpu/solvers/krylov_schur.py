@@ -388,10 +388,11 @@ def partial_schur(
             # fresh XLA compilation per convergence path — measured ~1 min
             # per recompile through the remote tunnel.
             try:
-                T2, Q = dense_tier.resolve_straddle(T2, Q, pa)
+                T2, Q = dense_tier.resolve_straddle(T2, Q, pa,
+                                                    min_keep=nev)
                 resolved = True
             except RuntimeError:
-                pass  # all-2x2 parity: fall through to cut stepping
+                pass  # no prefix-safe relocation: fall to cut stepping
             if resolved:
                 b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
                 eigs_pos = dense_tier.real_schur_eigvals(T2)

@@ -29,8 +29,8 @@ import numpy as np
 from jax import lax
 
 from ..ops import dense_tier
-from ..ops.df32 import (dw_add, dw_add_fl, dw_div, dw_mul, dw_mul_fl,
-                        dw_norm, dw_sub, dw_sum, fast_two_sum, two_prod)
+from ..ops.df32 import (dw_add, dw_add_fl, dw_div, dw_dot, dw_mul,
+                        dw_mul_fl, dw_norm, dw_sub, dw_sum)
 from ..ops.df32_linop import dw_matvec
 
 __all__ = ["dw_cgs2", "refine_schur_dw", "DW_INVARIANT_TOL"]
@@ -74,9 +74,7 @@ def dw_cgs2(Vh, Vl, wh, wl, n_active, *, tol=DW_INVARIANT_TOL):
     wh, wl = dw_sub(wh, wl, sh, sl)
 
     # Pass 2: fully compensated projection of the (small) remainder.
-    ph, pl = two_prod(Vh, wh[None, :])
-    ph, pl = fast_two_sum(ph, pl + (Vh * wl[None, :] + Vl * wh[None, :]))
-    c2h, c2l = dw_sum(ph, pl, axis=1)                       # (m+1,)
+    c2h, c2l = dw_dot(Vh, Vl, wh[None, :], wl[None, :], axis=1)  # (m+1,)
     c2h = jnp.where(mask, c2h, 0.0)
     c2l = jnp.where(mask, c2l, 0.0)
     uh, ul = dw_mul(c2h[:, None], c2l[:, None], Vh, Vl)     # (m+1, n)
@@ -274,7 +272,11 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
         m = int(n_iter)
     total_matvecs = m
     with clock("dw.h_pull"):
-        H_pair = (np.asarray(Hh, np.float64), np.asarray(Hl, np.float64))
+        # one batched pull (both limbs in flight together; see the
+        # restart pulls below for the measured tunnel-latency reason)
+        Hh_host, Hl_host = jax.device_get((Hh, Hl))
+        H_pair = (np.asarray(Hh_host, np.float64),
+                  np.asarray(Hl_host, np.float64))
 
     H_trunc = None
     prev_pa = 0
@@ -306,7 +308,8 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
             # Relocate a 1x1 block across the cut instead of moving pa
             # (pa is a STATIC shape downstream; drift = fresh compiles).
             try:
-                T2, Q = dense_tier.resolve_straddle(T2, Q, pa)
+                T2, Q = dense_tier.resolve_straddle(T2, Q, pa,
+                                                    min_keep=nev)
                 b_starts, b_sizes = dense_tier.real_schur_blocks(T2)
                 eigs_pos = dense_tier.real_schur_eigvals(T2)
                 in_block = np.zeros(m + 1, dtype=bool)
@@ -314,11 +317,18 @@ def refine_schur_dw(op, v0, nev, *, max_dim, p, tol, sort_function,
                     if sz_ == 2:
                         in_block[s_ + 1] = True
             except RuntimeError:
-                # all-2x2 parity: accept the drifted cut
-                if pa + 1 <= (m if happy_breakdown else m - 1):
+                # No prefix-safe relocation: step the cut (up first, then
+                # down with the >= nev floor — pa below nev would truncate
+                # wanted rows; mirrors the f32 path's stepping)
+                limit = m if happy_breakdown else m - 1
+                if pa + 1 <= limit and not in_block[pa + 1]:
                     pa += 1
-                else:
+                elif pa - 1 >= nev and not in_block[pa - 1]:
                     pa -= 1
+                else:
+                    raise ValueError(
+                        "Cannot truncate without splitting a conjugate "
+                        "pair; increase max_dim or p")
         Qp = Q[:, :pa]
 
         H_new = np.zeros((max_dim + 1, max_dim))
