@@ -6,6 +6,7 @@ Requires petsc4py/slepc4py; PETSc command-line flags (-eps_*, -st_*, -ksp_*,
 """
 
 import argparse
+import re
 import sys
 
 import numpy as np
@@ -29,7 +30,11 @@ def parse_args(argv=None):
         a = argv[i]
         if a.startswith(("-eps", "-st", "-ksp", "-pc")):
             petsc_args.append(a)
-            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+            # consume the value token unless it is ANOTHER option: a
+            # negative number ("-eps_target -0.5") must not leak into our
+            # argparse, so only "-<letter>" counts as an option
+            if i + 1 < len(argv) and not re.match(r"-[A-Za-z]",
+                                                  argv[i + 1]):
                 petsc_args.append(argv[i + 1])
                 i += 1
         else:

@@ -83,10 +83,13 @@ def run_scaling(n_grid=256, device_counts=(1, 2, 4, 8), max_dim=40,
             "nnz_per_s": round(base.nnz / per_iter, 0),
         })
 
-    base_rate = results[0]["nnz_per_s"] if results else 1.0
-    for r in results:
-        r["efficiency"] = round(
-            r["nnz_per_s"] / (base_rate * r["devices"]), 4)
+    # efficiency = per-device rate relative to the FIRST measured
+    # configuration's per-device rate (the first row need not be 1 device)
+    if results:
+        base_per_dev = results[0]["nnz_per_s"] / results[0]["devices"]
+        for r in results:
+            r["efficiency"] = round(
+                (r["nnz_per_s"] / r["devices"]) / base_per_dev, 4)
     return results
 
 

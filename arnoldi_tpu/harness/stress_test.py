@@ -83,9 +83,13 @@ def main(argv=None):
         for method in methods:
             try:
                 vals, vecs, stats = run_one(method, A, params, args.seed)
-                if ref_vals is None:
+                if method == methods[0]:
+                    # only the FIRST method may define the reference; if it
+                    # failed, later methods must not silently self-match
                     ref_vals = np.asarray(vals)
                     match = True
+                elif ref_vals is None:
+                    match = None   # reference method failed for this config
                 else:
                     a, b = find_best_matching(np.asarray(vals), ref_vals)
                     match = bool(np.allclose(a, b, rtol=1e-4, atol=1e-8))

@@ -511,12 +511,8 @@ def as_operator(A, dtype=None, format=None, backend=None):
             return BsrOperator.from_scipy(A, blocksize=bs, dtype=dtype)
         if format is None:
             if A.shape[0] != A.shape[1]:
-                # Rectangular: ELL only; the pallas kernel assumes square
-                # (x indexed by the row dimension), so keep the XLA backend.
-                if backend == "pallas":
-                    raise ValueError(
-                        "the pallas ELL kernel supports square operators "
-                        "only")
+                # Rectangular: ELL only (the kernel gathers from the full
+                # resident x by stored column index, so any x length works)
                 op = EllOperator.from_scipy(A, dtype=dtype)
                 return dataclasses.replace(op, backend=backend) if backend else op
             # Heuristic: DIA when the matrix is a stencil (few distinct

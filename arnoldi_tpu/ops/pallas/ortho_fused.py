@@ -52,6 +52,9 @@ def masked_project_pallas(Vt, w, mask, *, interpret=False, block_cols=16384):
     Vt: (mp1, n) real; w: (n,); mask: (mp1,) in Vt.dtype.
     """
     mp1, n = Vt.shape
+    # accumulate at least in f32; an f64 basis (CPU x64 tests) must NOT be
+    # silently rounded to f32 by a hardcoded preferred_element_type
+    acc_dt = jnp.promote_types(Vt.dtype, jnp.float32)
     block = _auto_block(mp1, block_cols, n)
     n_pad = _ceil_to(n, block)
     if n_pad != n:
@@ -71,7 +74,7 @@ def masked_project_pallas(Vt, w, mask, *, interpret=False, block_cols=16384):
         part = jax.lax.dot_general(
             V_ref[:, :], w_ref[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )  # (mp1, 1)
         c_ref[:, :] += part.astype(c_ref.dtype)
 
@@ -105,6 +108,7 @@ def project_update_norm_pallas(Vt, w, c, *, interpret=False,
     XLA path pays is folded into the update.
     """
     mp1, n = Vt.shape
+    acc_dt = jnp.promote_types(Vt.dtype, jnp.float32)  # see masked_project
     block = _auto_block(mp1, block_cols, n)
     n_pad = _ceil_to(n, block)
     if n_pad != n:
@@ -124,12 +128,12 @@ def project_update_norm_pallas(Vt, w, c, *, interpret=False,
         upd = jax.lax.dot_general(
             c_ref[:, :], V_ref[:, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_dt,
         )  # (1, block)
         w_new = w_ref[:, :] - upd.astype(w_ref.dtype)
         o_ref[:, :] = w_new
         ns_ref[:, :] += jnp.sum(
-            w_new.astype(jnp.float32) * w_new.astype(jnp.float32),
+            w_new.astype(acc_dt) * w_new.astype(acc_dt),
             keepdims=True,
         ).astype(ns_ref.dtype)
 
@@ -137,7 +141,7 @@ def project_update_norm_pallas(Vt, w, c, *, interpret=False,
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((1, n_pad), Vt.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), acc_dt),
         ),
         grid=grid,
         in_specs=[

@@ -36,9 +36,10 @@ def _ceil_to(x, m):
 
 @partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def ell_matvec_pallas(data, cols, x, *, interpret=False, block_rows=4096):
-    """ELL matvec.  data/cols: (n, L); x: (n,)."""
+    """ELL matvec.  data/cols: (n, L); x: (n_cols,) — the gather width
+    comes from x itself, so rectangular operators work too."""
     n, L = data.shape
-    assert x.shape == (n,)
+    assert x.ndim == 1
     out_dtype = jnp.result_type(data.dtype, x.dtype)
 
     block = block_rows

@@ -45,6 +45,26 @@ __all__ = [
 ]
 
 
+def _require_real(v, what):
+    """Guard for the REAL work-dtype path: a genuinely complex Ritz
+    vector cannot be stored in the real basis — ``V.at[k].set(complex)``
+    silently drops the imaginary part (JAX emits only a ComplexWarning),
+    which would lock a non-eigenvector without any error.  A
+    numerically-real array (complex dtype from ``np.linalg.eig`` with
+    ~zero imaginary part, the usual case for real eigenvalues) passes
+    through as its real part."""
+    if not np.iscomplexobj(v):
+        return v
+    v = np.asarray(v)
+    scale = max(float(np.abs(v).max()), 1.0)
+    if float(np.abs(v.imag).max()) <= 1e-7 * scale:
+        return np.ascontiguousarray(v.real)
+    raise ValueError(
+        f"{what}: a dominant Ritz pair is complex but the work dtype is "
+        "real; use a complex dtype (CPU), or partial_schur/eigs — the "
+        "real-Schur path carries conjugate pairs as 2x2 blocks")
+
+
 @partial(jax.jit, static_argnames=())
 def _ortho_against_locked(V, v, n_locked):
     """Orthonormalize ``v`` against the first ``n_locked`` columns of ``V``
@@ -115,6 +135,9 @@ def naive_explicit_restarts(A, m=None, *, stopping_criterion=None,
                 return ritz, True, i
         # Restart with the dominant Ritz vector.
         v0 = ritz.vectors[:, 0]
+        if np.issubdtype(np.dtype(wdtype), np.floating):
+            v0 = jnp.asarray(
+                _require_real(v0, "naive_explicit_restarts"), wdtype)
         v0 = v0 / jnp.linalg.norm(v0)
 
     return ritz, False, max_restarts
@@ -195,8 +218,11 @@ def explicit_restarts_with_deflation(
                 V_k, H_k, m - k, sort_function=sort_function
             )
 
-            lambda_k = ritz.values[0]
             v_k = ritz.vectors[:, 0]
+            if np.issubdtype(np.dtype(wdtype), np.floating):
+                v_k = jnp.asarray(
+                    _require_real(v_k, "explicit_restarts_with_deflation"),
+                    wdtype)
             v_k = v_k / jnp.linalg.norm(v_k)
 
             # Re-orthogonalize the candidate against the locked basis.
@@ -214,7 +240,9 @@ def explicit_restarts_with_deflation(
                 # Lock: build column k of the projected H by Rayleigh
                 # quotients against the locked basis (reference :149-151).
                 Av = op.matvec(V[k, :]).astype(wdtype)
-                coeffs = np.asarray(jnp.matmul(V[: k + 1, :].conj(), Av))
+                coeffs = np.asarray(jnp.matmul(
+                    V[: k + 1, :].conj(), Av,
+                    precision=jax.lax.Precision.HIGHEST))
                 H_host[: k + 1, k] = coeffs
                 H_host[k + 1 : -1, k] = 0
 
@@ -227,5 +255,10 @@ def explicit_restarts_with_deflation(
     # Final re-diagonalization of the projected matrix (reference :162-167;
     # required for Markov-type matrices).
     eivals, Y = dense_tier.eig(H_host[:nev, :nev])
-    eivecs = jnp.matmul(V[:nev, :].T, jnp.asarray(Y, dtype=wdtype))
+    if np.issubdtype(np.dtype(wdtype), np.floating) and np.iscomplexobj(Y):
+        # the locked H is upper triangular with a real diagonal here (the
+        # complex-pair case raised above), so Y is numerically real
+        Y = _require_real(Y, "explicit_restarts_with_deflation")
+    eivecs = jnp.matmul(V[:nev, :].T, jnp.asarray(Y, dtype=wdtype),
+                        precision=jax.lax.Precision.HIGHEST)
     return eivals, eivecs, history

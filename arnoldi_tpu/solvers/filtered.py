@@ -197,7 +197,9 @@ def _cholqr2(X):
 
     def qr_pass(X):
         G = jnp.matmul(X, X.T, precision=_PREC)
-        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))), 1.0)
+        # relative shift scale (tiny floor only): see ops/ortho.py cholqr
+        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G))),
+                            jnp.finfo(X.dtype).tiny)
         L = cholesky(G + (eps * scale) * jnp.eye(s, dtype=X.dtype),
                      lower=True)
         return solve_triangular(L, X, lower=True)

@@ -15,7 +15,6 @@ import os
 
 import numpy as np
 
-from .history import History
 
 
 @dataclasses.dataclass
@@ -30,13 +29,6 @@ class RestartCheckpoint:
     matvecs: np.ndarray    # per-eigenvalue history
     restarts: np.ndarray
     residual_trace: list
-
-    def history(self, nev):
-        h = History(self.matvecs.copy(), self.restarts.copy(),
-                    list(self.residual_trace))
-        h.total = int(self.total_matvecs)
-        return h
-
 
 def save_checkpoint(path, ckpt: RestartCheckpoint):
     # np.savez appends ".npz" unless the name already ends with it; write to

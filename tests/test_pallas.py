@@ -41,6 +41,24 @@ class TestBandedPallas:
         np.testing.assert_allclose(y, np.asarray(op.matvec(x)), atol=1e-12)
 
 
+class TestEllPallasRectangular:
+    def test_rectangular_matvec(self):
+        # The kernel gathers from the full resident x by stored column
+        # index, so a rectangular ELL operator must work (regression: an
+        # x.shape == (n_rows,) assert rejected it at trace time).
+        import scipy.sparse as sp
+
+        from arnoldi_tpu.ops.pallas.spmv_ell import ell_matvec_pallas
+
+        A = sp.random(120, 80, density=0.15, random_state=0, format="csr")
+        op = as_operator(A, dtype=np.float32)   # rectangular -> ELL
+        x = jnp.asarray(np.random.default_rng(2)
+                        .standard_normal(80).astype(np.float32))
+        y = np.asarray(ell_matvec_pallas(op.data, op.cols, x,
+                                         interpret=True, block_rows=64))
+        np.testing.assert_allclose(y, A @ np.asarray(x), atol=1e-5)
+
+
 class TestOrthoFusedPallas:
     def setup_method(self, method):
         rng = np.random.default_rng(7)
