@@ -83,10 +83,13 @@ void zlartg(cd f, cd g, cd &c, cd &s) {
 
 }  // namespace
 
-// Debug/diagnostic counters (read via dense_tier_stats).
-static long g_rotations = 0;
-static double g_worst_g = 0.0;
-static long g_outer_iters = 0;
+// Debug/diagnostic counters (read via dense_tier_stats).  Atomics: the
+// host tier carries no single-thread restriction, and unsynchronized
+// read-modify-write on statics is UB under concurrent schur calls.
+#include <atomic>
+static std::atomic<long> g_rotations{0};
+static std::atomic<double> g_worst_g{0.0};
+static std::atomic<long> g_outer_iters{0};
 
 extern "C" {
 
@@ -224,8 +227,13 @@ int hess_schur_z(int n, cd *T, cd *Q, int max_sweeps) {
       // G = [[c, s], [-conj(s), c]] with c real: G [f; g] = [r; 0]
       cd g00 = cs, g01 = sn, g10 = -std::conj(sn), g11 = cs;
       ++g_rotations;
-      g_worst_g = std::max(
-          g_worst_g, std::abs(std::norm(cs) + std::norm(sn) - 1.0));
+      {
+        double w = std::abs(std::norm(cs) + std::norm(sn) - 1.0);
+        double cur = g_worst_g.load(std::memory_order_relaxed);
+        while (w > cur &&
+               !g_worst_g.compare_exchange_weak(cur, w)) {
+        }
+      }
       int c0 = (k > lo) ? k - 1 : lo;
       rot_rows(T, n, k, c0, n, g00, g01, g10, g11);
       if (k > lo) at(T, n, k + 1, k - 1) = 0.0;  // rotated to zero exactly
@@ -257,10 +265,7 @@ static void swap_adjacent(int n, cd *T, cd *Q, int k) {
   // Rotation from the eigenvector [t12; t22-t11] of the 2x2 block for t22.
   cd f = t12, g = t22 - t11;
   if (std::abs(g) == 0.0) return;  // equal eigenvalues: nothing to move
-  cd cs, sn;
-  // We need U with first column prop to [f; g]: build from zlartg(f, g):
-  // [[c, s], [-conj(s), c]] [f; g] = [r; 0]  =>  U = G^H has first column
-  // [conj(c); conj(s)] ... work it directly instead:
+  // U with first column proportional to [f; g]:
   double nrm = std::sqrt(std::norm(f) + std::norm(g));
   cd u00 = f / nrm, u10 = g / nrm;           // first column = normalized [f;g]
   cd u01 = -std::conj(u10), u11 = std::conj(u00);  // orthonormal complement
@@ -272,8 +277,6 @@ static void swap_adjacent(int n, cd *T, cd *Q, int k) {
   rot_cols(Q, n, k, 0, n, u00, u01, u10, u11);
   // enforce exact triangularity of the swapped block
   at(T, n, k + 1, k) = 0.0;
-  (void)cs;
-  (void)sn;
 }
 
 // Move diagonal entry ifst to position ilst (0-based) via adjacent swaps.
@@ -331,6 +334,16 @@ int trevc_z(int n, const cd *T, cd *S) {
       if (std::abs(d) < eps * scale)
         d = cd((d.real() < 0 ? -1.0 : 1.0) * eps * scale, 0.0);
       y[i] = rhs / d;
+      // LAPACK-style overflow guard: each near-defective level multiplies
+      // the column by ~1/(eps*scale); a chain of clustered eigenvalues
+      // otherwise overflows to inf and the normalization returns NaN.
+      // The recurrence is linear, so rescaling the computed suffix keeps
+      // the direction exactly.
+      double ay = std::abs(y[i]);
+      if (ay > 1e150) {
+        double s = 1.0 / ay;
+        for (int j = i; j <= k; ++j) y[j] *= s;
+      }
     }
     double nrm = 0.0;
     for (int i = 0; i <= k; ++i) nrm += std::norm(y[i]);
@@ -670,8 +683,6 @@ bool solve_sylvester_small(int p, int q, const double *A11, const double *A22,
       for (int k = 0; k < q; ++k) M[row * m + (i * q + k)] -= A22[k * q + j];
     }
   // Gaussian elimination with partial pivoting.
-  int piv[4] = {0, 1, 2, 3};
-  (void)piv;
   for (int col = 0; col < m; ++col) {
     int best = col;
     for (int r = col + 1; r < m; ++r)

@@ -29,11 +29,21 @@ _i32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
 def _build():
+    # Compile to a per-process temp name and rename atomically: a second
+    # process compiling in place could truncate a .so this (or another)
+    # process has already dlopen-mapped, or hand a half-written ELF to a
+    # concurrent CDLL (which would permanently flip it to the scipy path).
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-march=native",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -92,7 +102,7 @@ def schur_complex(A):
 
 def trexc(T, Z, ifst, ilst):
     lib = _load()
-    in_dtype = np.asarray(T).dtype
+    in_dtype = np.result_type(np.asarray(T).dtype, np.complex64)
     T = _as_c128(T).copy()
     Z = _as_c128(Z).copy()
     rc = lib.trexc_z(T.shape[0], T, Z, int(ifst), int(ilst))
@@ -105,10 +115,19 @@ def ordered_schur(T, Z, order):
     """Greedy reorder of an existing Schur form — one native call for the
     reference's whole utils.py:45-63 loop."""
     lib = _load()
-    in_dtype = np.asarray(T).dtype
+    in_dtype = np.result_type(np.asarray(T).dtype, np.complex64)
     T = _as_c128(T).copy()
     Z = _as_c128(Z).copy()
     order = np.ascontiguousarray(order, dtype=np.int32)
+    # the native loop reads order[t] for every t < n — a top-k prefix (legal
+    # for the Python fallback) would read past the buffer (UB)
+    n_ = T.shape[0]
+    if len(order) != n_ or order.size and (
+            order.min() < 0 or order.max() >= n_):
+        raise RuntimeError(
+            f"ordered_schur_z needs a full permutation of 0..{n_ - 1}; "
+            f"got {len(order)} indices (use the LAPACK fallback for "
+            "partial orders)")
     rc = lib.ordered_schur_z(T.shape[0], T, Z, order)
     if rc != 0:
         raise RuntimeError(f"native ordered_schur_z failed (rc={rc})")
@@ -140,9 +159,11 @@ def eig(A):
 
 def schur_real(A):
     """Real Schur ``A = Q T Q^T`` (T quasi-triangular with standardized
-    2x2 blocks); float32 inputs upcast and cast back."""
+    2x2 blocks); float32 inputs upcast and cast back (integer inputs
+    promote to float64 — casting BACK to int would return truncated
+    garbage)."""
     lib = _load()
-    in_dtype = np.asarray(A).dtype
+    in_dtype = np.result_type(np.asarray(A).dtype, np.float32)
     T = np.ascontiguousarray(np.asarray(A), dtype=np.float64).copy()
     n = T.shape[0]
     Q = np.zeros((n, n), dtype=np.float64)
@@ -156,7 +177,7 @@ def reorder_blocks_real(T, Q, block_order):
     """Greedy BLOCK reorder of a real quasi-triangular Schur form — the
     dtrexc/dlaexc analog, whole loop in one native call."""
     lib = _load()
-    in_dtype = np.asarray(T).dtype
+    in_dtype = np.result_type(np.asarray(T).dtype, np.float32)
     T = np.ascontiguousarray(T, dtype=np.float64).copy()
     Q = np.ascontiguousarray(Q, dtype=np.float64).copy()
     order = np.ascontiguousarray(block_order, dtype=np.int32)

@@ -106,8 +106,13 @@ def ordered_schur(a, output="complex", *, sort_function=None):
     ordered_indices = np.asarray(sort_function(eigenvalues))
 
     nat = _native()
-    if nat is not None:
-        return nat.ordered_schur(T, Z, ordered_indices.astype(np.int32))
+    # the native loop needs a FULL permutation; a sort_function returning
+    # a top-k prefix routes to the incremental Python path below
+    if nat is not None and len(ordered_indices) == n:
+        try:
+            return nat.ordered_schur(T, Z, ordered_indices.astype(np.int32))
+        except RuntimeError:
+            pass  # fall through to the move_eigenvalue loop
 
     current_pos = list(range(n))
     for target, source_idx in enumerate(ordered_indices):
@@ -252,7 +257,10 @@ def eig(A):
     A = np.asarray(A)
     nat = _native()
     if nat is not None and np.iscomplexobj(A):
-        return nat.eig(A)
+        try:
+            return nat.eig(A)
+        except RuntimeError:
+            pass  # QR non-convergence: LAPACK is the fallback oracle
     return np.linalg.eig(A)
 
 

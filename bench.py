@@ -398,7 +398,38 @@ def main_interior(g=80):
     }))
 
 
+def _device_available(budget_s=600):
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    The remote-TPU claim has been observed to spin for 25+ minutes before
+    surfacing UNAVAILABLE (multi-hour device outage, round 2); the driver
+    needs ONE JSON line either way, so probe first and emit a structured
+    error instead of hanging or stack-tracing.  The probe process exits
+    before the benchmark claims the device (one-claim-at-a-time rule).
+    """
+    import subprocess
+
+    code = "import jax; jax.devices(); print('ok')"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=budget_s,
+                           capture_output=True, text=True)
+        if r.returncode == 0 and "ok" in r.stdout:
+            return None
+        err = (r.stderr or r.stdout).strip().splitlines()
+        return err[-1] if err else f"exit code {r.returncode}"
+    except subprocess.TimeoutExpired:
+        return f"backend init exceeded {budget_s}s (device claim hung)"
+
+
 if __name__ == "__main__":
+    reason = _device_available()
+    if reason is not None:
+        print(json.dumps({
+            "metric": "arnoldi_hot_loop_per_iteration",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"device unavailable: {reason}",
+        }))
+        sys.exit(1)
     if len(sys.argv) > 1 and sys.argv[1] == "solve":
         main_solve(int(sys.argv[2]) if len(sys.argv) > 2 else 300)
     elif len(sys.argv) > 1 and sys.argv[1] == "scattered":

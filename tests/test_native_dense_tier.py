@@ -231,3 +231,54 @@ class TestNativeRealSchur:
         assert np.abs(Z.T @ Z - np.eye(6)).max() < 1e-13
         # ordering: the double 1.0-pair leads, the -2 pair trails
         assert np.real(vals)[:4].min() > 0.9 and np.real(vals)[-1] < 0
+
+
+class TestNativeRobustness:
+    """Regressions from the native-tier review: dtype promotion, partial
+    orders, and overflow in the triangular back-substitution."""
+
+    def test_integer_input_promotes(self):
+        # int64 in, float64 out — casting BACK to int returned a truncated
+        # non-triangular "Schur factor" with wrong eigenvalues.
+        import arnoldi_tpu.ops.dense_tier as dt
+
+        A = np.array([[0, 1, 0], [0, 0, 1], [5, 1, 2]])
+        T, Q = dt.schur_real(A)
+        assert np.issubdtype(T.dtype, np.floating)
+        assert np.abs(Q @ T @ Q.T - A).max() < 1e-12
+        np.testing.assert_allclose(
+            np.sort(np.linalg.eigvals(T.astype(complex)).real),
+            np.sort(np.linalg.eigvals(A.astype(float)).real), atol=1e-10)
+
+    def test_topk_sort_order_safe(self):
+        # A top-k (partial) sort order must route to the incremental
+        # Python path — the native loop reads order[t] for every t < n
+        # (heap over-read / UB before the length gate).
+        import arnoldi_tpu.ops.dense_tier as dt
+
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((12, 12)) + 1j * rng.standard_normal((12, 12))
+        T, Z = dt.ordered_schur(
+            A, sort_function=lambda x: np.argsort(-np.abs(x))[:4])
+        assert np.abs(Z @ T @ Z.conj().T - A).max() < 1e-12
+        # leading 4 are the largest-magnitude eigenvalues
+        d = np.abs(np.diag(T))
+        assert d[:4].min() >= np.sort(np.abs(np.linalg.eigvals(A)))[-4] - 1e-9
+
+    def test_defective_chain_eigvecs_finite(self):
+        # Jordan-like chains multiply the back-substitution column by
+        # ~1/(eps*scale) per level; without LAPACK-style rescaling the
+        # column overflows and normalizes to NaN.
+        from arnoldi_tpu.native import dense_tier as nat
+        import pytest
+
+        if not nat.available():
+            pytest.skip("native tier not built")
+        J = np.diag(np.full(30, 2.0 + 0j)) + np.diag(np.ones(29), 1)
+        vals, vecs = nat.eig(J)
+        assert np.all(np.isfinite(vecs))
+        S = nat.triangular_eigvecs(np.triu(np.ones((30, 30), complex)))
+        assert np.all(np.isfinite(S))
+        # unit columns
+        np.testing.assert_allclose(np.linalg.norm(S, axis=0), 1.0,
+                                   atol=1e-12)
