@@ -462,15 +462,116 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     return np.asarray(vals)
 
 
-def eigsh(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
+def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
+          tol=None, ncv=None,
           maxiter=1000, dtype=None, key=None, v0=None,
           return_eigenvectors=True, inner_solver="cg", inner_tol=None,
           block_size=1):
     """scipy.sparse.linalg.eigsh-compatible driver on the thick-restart
-    Lanczos core (Hermitian A)."""
+    Lanczos core (Hermitian A).
+
+    ``M`` activates the symmetric-definite generalized problem
+    ``A x = lambda M x`` (reference's scipy oracle surface,
+    /root/reference/tests/test_krylov_schur.py uses the standard form; M is
+    scipy-API parity).  The pencil is solved through the generalized
+    operator ``M^{-1} A`` (or ``(A - sigma M)^{-1} M`` with ``sigma``) on
+    the real-Arnoldi Krylov-Schur core: the operator is self-adjoint in the
+    M-inner product, so its eigenvalues are real and the Euclidean Arnoldi
+    recovers them with real quasi-Schur 1x1 blocks; eigenvectors are
+    returned M-orthonormalized (scipy contract).  Only ``mode='normal'``
+    is implemented (no buckling/cayley transforms).
+
+    ``which='BE'`` (both ends; scipy parity) returns ``k - k//2`` pairs
+    from the high end and ``k//2`` from the low end, via two restarted
+    solves sharing every other parameter.
+    """
     from .lanczos import SYM_SORTS, partial_eigh
 
+    if mode != "normal":
+        raise NotImplementedError(
+            f"mode={mode!r}: only 'normal' is implemented (no "
+            f"buckling/cayley spectral transforms)")
+    if which == "BE":
+        # scipy: half from each end of the spectrum; odd k sends the extra
+        # pair to the HIGH end.  Two independent restarted solves — the
+        # Krylov spaces for the two ends share nothing useful after
+        # restarting anyway.
+        n_lo = k // 2
+        n_hi = k - n_lo
+        kw = dict(sigma=sigma, M=M, mode=mode, tol=tol, ncv=ncv,
+                  maxiter=maxiter, dtype=dtype, key=key, v0=v0,
+                  return_eigenvectors=True, inner_solver=inner_solver,
+                  inner_tol=inner_tol, block_size=block_size)
+        vals_hi, vecs_hi = eigsh(A, n_hi, which="LA", **kw)
+        if n_lo:
+            vals_lo, vecs_lo = eigsh(A, n_lo, which="SA", **kw)
+            vals = np.concatenate([vals_lo, vals_hi])
+            vecs = np.concatenate([vecs_lo, vecs_hi], axis=1)
+        else:
+            vals, vecs = vals_hi, vecs_hi
+        order = np.argsort(vals)
+        vals, vecs = vals[order], vecs[:, order]
+        if return_eigenvectors:
+            return vals, vecs
+        return vals
+
     op = as_operator(A, dtype=dtype)
+    if M is not None:
+        from .krylov_schur import (
+            eigenpairs_from_partial_schur,
+            partial_schur,
+        )
+
+        if tol is None:
+            tol = float(np.sqrt(np.finfo(op.dtype).eps))
+        itol = inner_tol if inner_tol is not None else tol * 1e-2
+        gop = generalized_operator(op, M, sigma, solver=inner_solver,
+                                   inner_tol=itol, dtype=dtype)
+        # `which` acts on the pencil eigenvalues (sigma None) or on the
+        # transformed nu = 1/(lambda - sigma) (scipy contract); both are
+        # real, so the symmetric sorts map onto the real-Arnoldi ones.
+        smap = {"LA": "LR", "SA": "SR", "LM": "LM", "SM": "SM"}
+        if which not in smap:
+            raise ValueError(
+                f"which={which!r} not supported with M: expected one of "
+                f"{('BE',) + tuple(smap)}")
+        sort_function = sort_function_for(smap[which])
+        Q, T, hist = partial_schur(
+            gop, k, max_dim=ncv, stopping_criterion=tol,
+            sort_function=sort_function, max_restarts=maxiter,
+            dtype=dtype, key=key, v0=v0,
+        )
+        theta, vecs = eigenpairs_from_partial_schur(Q, T)
+        theta = np.asarray(theta)
+        vecs = np.asarray(vecs)
+        if len(theta) > k:
+            order = np.asarray(sort_function(theta))[:k]
+            theta, vecs = theta[order], vecs[:, order]
+        vals = (np.asarray(_transform_back(theta, sigma))
+                if sigma is not None else theta).real
+        # A real symmetric pencil lands in 1x1 real-Schur blocks; drop the
+        # zero imaginary part a complex (CPU) work dtype may carry.
+        if np.iscomplexobj(vecs) and not np.issubdtype(
+                np.dtype(op.dtype), np.complexfloating):
+            vecs = np.real_if_close(vecs, tol=1e6)
+        # scipy contract: eigenvectors M-orthonormal.
+        opM = as_operator(M, dtype=dtype)
+        if np.iscomplexobj(vecs) and not np.issubdtype(
+                np.dtype(opM.dtype), np.complexfloating):
+            # complex Hermitian A over a real M: apply M limb-wise
+            Mv = (np.asarray(opM.matmat(np.ascontiguousarray(vecs.real)))
+                  + 1j * np.asarray(opM.matmat(
+                      np.ascontiguousarray(vecs.imag))))
+        else:
+            Mv = np.asarray(opM.matmat(vecs.astype(opM.dtype, copy=False)))
+        nrm = np.sqrt(np.abs(np.sum(np.conj(vecs) * Mv, axis=0).real))
+        vecs = vecs / np.where(nrm == 0, 1.0, nrm)[None, :]
+        order = np.argsort(vals)
+        vals, vecs = vals[order], vecs[:, order]
+        if return_eigenvectors:
+            return vals, vecs
+        return vals
+
     if sigma is not None:
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))

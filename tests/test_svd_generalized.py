@@ -138,6 +138,73 @@ class TestGeneralized:
         np.testing.assert_allclose(np.sort(got), np.sort(want), rtol=1e-7,
                                    atol=1e-8)
 
+    def test_eigsh_generalized_la_sa(self):
+        """eigsh(M=) — scipy's symmetric-definite pencil surface."""
+        from arnoldi_tpu import eigsh
+
+        n = 80
+        A = laplace(n).tocsr()
+        B = sp.diags_array(np.linspace(1, 2, n)).tocsr()
+        full = np.sort(sla.eigh(A.todense(), B.todense(), eigvals_only=True))
+        for which, want in (("LA", full[-3:]), ("SA", full[:3])):
+            vals, vecs = eigsh(A, 3, which=which, M=B, tol=1e-9,
+                               maxiter=5000, key=jax.random.key(2))
+            assert not np.iscomplexobj(vals) and not np.iscomplexobj(vecs)
+            np.testing.assert_allclose(vals, want, rtol=1e-7, atol=1e-9)
+            assert np.all(np.diff(vals) >= 0), "scipy ascending contract"
+            # pencil residual + M-orthonormality (scipy contract)
+            res = np.linalg.norm(A @ vecs - (B @ vecs) * vals, axis=0)
+            np.testing.assert_allclose(res, 0, atol=1e-6)
+            np.testing.assert_allclose(vecs.T @ (B @ vecs), np.eye(3),
+                                       atol=1e-6)
+
+    def test_eigsh_generalized_shift_invert(self):
+        from arnoldi_tpu import eigsh
+
+        n = 60
+        A = laplace(n).tocsr()
+        B = sp.diags_array(np.linspace(0.5, 1.5, n)).tocsr()
+        sigma = -1.0
+        vals, vecs = eigsh(A, 3, sigma=sigma, M=B, tol=1e-9, maxiter=5000,
+                           key=jax.random.key(7))
+        full = np.sort(sla.eigh(A.todense(), B.todense(), eigvals_only=True))
+        want = np.sort(full[np.argsort(np.abs(full - sigma))[:3]])
+        np.testing.assert_allclose(vals, want, rtol=1e-7, atol=1e-8)
+        res = np.linalg.norm(A @ vecs - (B @ vecs) * vals, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+    def test_eigsh_be_standard_and_generalized(self):
+        """which='BE' — k//2 low + (k - k//2) high ends, ascending."""
+        from arnoldi_tpu import eigsh
+
+        n = 80
+        A = laplace(n).tocsr()
+        full = np.sort(np.linalg.eigvalsh(A.todense()))
+        vals, vecs = eigsh(A, 5, which="BE", tol=1e-9, maxiter=5000,
+                           key=jax.random.key(3))
+        want = np.sort(np.concatenate([full[:2], full[-3:]]))
+        np.testing.assert_allclose(vals, want, rtol=1e-7, atol=1e-9)
+        res = np.linalg.norm(A @ vecs - vecs * vals, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+        B = sp.diags_array(np.linspace(1, 2, n)).tocsr()
+        gfull = np.sort(sla.eigh(A.todense(), B.todense(),
+                                 eigvals_only=True))
+        gvals, gvecs = eigsh(A, 4, which="BE", M=B, tol=1e-9, maxiter=5000,
+                             key=jax.random.key(4))
+        gwant = np.sort(np.concatenate([gfull[:2], gfull[-2:]]))
+        np.testing.assert_allclose(gvals, gwant, rtol=1e-7, atol=1e-9)
+
+    def test_eigsh_mode_guard(self):
+        from arnoldi_tpu import eigsh
+
+        A = laplace(20).tocsr()
+        B = sp.eye_array(20).tocsr()
+        with pytest.raises(NotImplementedError, match="buckling"):
+            eigsh(A, 2, M=B, sigma=1.0, mode="buckling")
+        with pytest.raises(ValueError, match="not supported with M"):
+            eigsh(A, 2, M=B, which="XX")
+
 
 class TestReviewRegressions:
     """Regressions for the round-1 code-review findings."""
