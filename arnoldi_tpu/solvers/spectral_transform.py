@@ -359,7 +359,40 @@ def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
                             nnz=opA.nnz + opB.nnz)
 
 
-def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
+def _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype):
+    """scipy's user-supplied-inverse surface: the outer operator built from
+    ``Minv`` (inverse of M; used when ``sigma is None``) or ``OPinv``
+    (inverse of ``A - sigma M`` / ``A - sigma I``; used with ``sigma``),
+    replacing the inner Krylov solve entirely.  Returns None when neither
+    is given (callers fall back to the iterative-inverse operators).
+    Validation mirrors scipy.sparse.linalg.eigs.
+    """
+    if OPinv is not None:
+        if sigma is None:
+            raise ValueError("OPinv should not be specified "
+                             "unless sigma is specified")
+        opinv = as_operator(OPinv, dtype=dtype)
+        if M is None:
+            return opinv
+        opM = as_operator(M, dtype=dtype)
+        return CallableOperator(
+            lambda x: opinv.matvec(opM.matvec(x)), op.shape, op.dtype,
+            nnz=opinv.nnz + opM.nnz)
+    if Minv is not None:
+        if sigma is not None:
+            raise ValueError("Minv should not be specified "
+                             "when sigma is specified (supply OPinv)")
+        if M is None:
+            raise ValueError("Minv should not be specified with M = None")
+        opMinv = as_operator(Minv, dtype=dtype)
+        return CallableOperator(
+            lambda x: opMinv.matvec(op.matvec(x)), op.shape, op.dtype,
+            nnz=opMinv.nnz + op.nnz)
+    return None
+
+
+def eigs(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
+         tol=None, ncv=None,
          maxiter=1000, dtype=None, ortho="cgs_dgks", key=None, v0=None,
          return_eigenvectors=True, inner_solver="bicgstab", inner_tol=None):
     """scipy.sparse.linalg.eigs-compatible driver on the Krylov-Schur core.
@@ -368,7 +401,9 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     (the outer iteration runs LM on ``(A - sigma I)^{-1}``).  ``M``
     activates the generalized problem ``A x = lambda M x`` (inner Krylov
     solves against M, or against ``A - sigma M`` when combined with
-    ``sigma``).  ``v0`` is the scipy start vector (overrides ``key``).
+    ``sigma``).  ``Minv``/``OPinv`` supply those inverses explicitly (any
+    operator-like; scipy parity) and skip the inner solves.  ``v0`` is the
+    scipy start vector (overrides ``key``).
     """
     from .krylov_schur import (
         _backend_supports_complex,
@@ -390,12 +425,13 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
             return_eigenvectors=return_eigenvectors,
         )
     op = as_operator(A, dtype=dtype)
+    explicit = _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype)
     if M is not None:
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
-        gop = generalized_operator(op, M, sigma, solver=inner_solver,
-                                   inner_tol=itol, dtype=dtype)
+        gop = explicit if explicit is not None else generalized_operator(
+            op, M, sigma, solver=inner_solver, inner_tol=itol, dtype=dtype)
         outer_sort = sort_function_for("LM" if sigma is not None else which)
         Q, T, hist = partial_schur(
             gop, k, max_dim=ncv, stopping_criterion=tol,
@@ -421,9 +457,10 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
         itol = inner_tol if inner_tol is not None else tol * 1e-2
         # splu factorizes the ORIGINAL host matrix; iterative solvers run
         # against the device operator.
-        solve_op = shift_invert_operator(
-            A if inner_solver == "splu" else op, sigma,
-            solver=inner_solver, inner_tol=itol, dtype=dtype)
+        solve_op = explicit if explicit is not None else \
+            shift_invert_operator(
+                A if inner_solver == "splu" else op, sigma,
+                solver=inner_solver, inner_tol=itol, dtype=dtype)
         sort_function = sort_function_for("LM")
         Q, T, hist = partial_schur(
             solve_op, k, max_dim=ncv, stopping_criterion=tol,
@@ -462,7 +499,8 @@ def eigs(A, k=6, *, which="LM", sigma=None, M=None, tol=None, ncv=None,
     return np.asarray(vals)
 
 
-def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
+def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
+          mode="normal",
           tol=None, ncv=None,
           maxiter=1000, dtype=None, key=None, v0=None,
           return_eigenvectors=True, inner_solver="cg", inner_tol=None,
@@ -478,8 +516,10 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
     the real-Arnoldi Krylov-Schur core: the operator is self-adjoint in the
     M-inner product, so its eigenvalues are real and the Euclidean Arnoldi
     recovers them with real quasi-Schur 1x1 blocks; eigenvectors are
-    returned M-orthonormalized (scipy contract).  Only ``mode='normal'``
-    is implemented (no buckling/cayley transforms).
+    returned M-orthonormalized (scipy contract).  ``Minv``/``OPinv``
+    supply the pencil inverses explicitly (scipy parity) and skip the
+    inner solves.  Only ``mode='normal'`` is implemented (no
+    buckling/cayley transforms).
 
     ``which='BE'`` (both ends; scipy parity) returns ``k - k//2`` pairs
     from the high end and ``k//2`` from the low end, via two restarted
@@ -498,7 +538,8 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
         # restarting anyway.
         n_lo = k // 2
         n_hi = k - n_lo
-        kw = dict(sigma=sigma, M=M, mode=mode, tol=tol, ncv=ncv,
+        kw = dict(sigma=sigma, M=M, Minv=Minv, OPinv=OPinv, mode=mode,
+                  tol=tol, ncv=ncv,
                   maxiter=maxiter, dtype=dtype, key=key, v0=v0,
                   return_eigenvectors=True, inner_solver=inner_solver,
                   inner_tol=inner_tol, block_size=block_size)
@@ -516,6 +557,7 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
         return vals
 
     op = as_operator(A, dtype=dtype)
+    explicit = _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype)
     if M is not None:
         from .krylov_schur import (
             eigenpairs_from_partial_schur,
@@ -525,8 +567,8 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
-        gop = generalized_operator(op, M, sigma, solver=inner_solver,
-                                   inner_tol=itol, dtype=dtype)
+        gop = explicit if explicit is not None else generalized_operator(
+            op, M, sigma, solver=inner_solver, inner_tol=itol, dtype=dtype)
         # `which` acts on the pencil eigenvalues (sigma None) or on the
         # transformed nu = 1/(lambda - sigma) (scipy contract); both are
         # real, so the symmetric sorts map onto the real-Arnoldi ones.
@@ -576,9 +618,10 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, mode="normal",
         if tol is None:
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
-        solve_op = shift_invert_operator(
-            A if inner_solver == "splu" else op, sigma,
-            solver=inner_solver, inner_tol=itol, dtype=dtype)
+        solve_op = explicit if explicit is not None else \
+            shift_invert_operator(
+                A if inner_solver == "splu" else op, sigma,
+                solver=inner_solver, inner_tol=itol, dtype=dtype)
         # scipy contract: under shift-invert, `which` selects on the
         # TRANSFORMED eigenvalues nu = 1/(lambda - sigma): the default 'LM'
         # means "nearest sigma", 'LA' means "just above sigma".

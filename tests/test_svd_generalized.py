@@ -195,6 +195,68 @@ class TestGeneralized:
         gwant = np.sort(np.concatenate([gfull[:2], gfull[-2:]]))
         np.testing.assert_allclose(gvals, gwant, rtol=1e-7, atol=1e-9)
 
+    def test_minv_opinv_explicit_inverses(self):
+        """scipy's Minv/OPinv surface: user-supplied inverses replace the
+        inner Krylov solves on both eigs and eigsh."""
+        from scipy.sparse.linalg import splu
+
+        from arnoldi_tpu import eigsh
+        from arnoldi_tpu.linop import CallableOperator
+
+        n = 60
+        A = laplace(n).tocsr()
+        d = np.linspace(1, 2, n)
+        B = sp.diags_array(d).tocsr()
+        full = np.sort(sla.eigh(A.todense(), B.todense(), eigvals_only=True))
+
+        # Minv: diagonal M inverted exactly, no inner solver involved
+        Minv = sp.diags_array(1.0 / d).tocsr()
+        vals, vecs = eigsh(A, 3, which="SA", M=B, Minv=Minv, tol=1e-9,
+                           maxiter=5000, key=jax.random.key(1))
+        np.testing.assert_allclose(vals, full[:3], rtol=1e-7, atol=1e-9)
+
+        # OPinv: host-factorized (A - sigma B)^{-1} reached through
+        # pure_callback so the closure stays jittable inside the solver
+        sigma = -1.0
+        lu = splu((A - sigma * B).tocsc().astype(np.float64))
+
+        def _host_opinv(mat_lu):
+            def mv(x):
+                return jax.pure_callback(
+                    lambda b: mat_lu.solve(np.asarray(b, np.float64))
+                    .astype(b.dtype),
+                    jax.ShapeDtypeStruct((n,), x.dtype), x,
+                    vmap_method="sequential")
+            return mv
+
+        opinv = CallableOperator(_host_opinv(lu), (n, n), np.float64,
+                                 nnz=A.nnz)
+        gvals, gvecs = eigsh(A, 3, sigma=sigma, M=B, OPinv=opinv, tol=1e-9,
+                             maxiter=5000, key=jax.random.key(2))
+        want = np.sort(full[np.argsort(np.abs(full - sigma))[:3]])
+        np.testing.assert_allclose(gvals, want, rtol=1e-7, atol=1e-8)
+        res = np.linalg.norm(A @ gvecs - (B @ gvecs) * gvals, axis=0)
+        np.testing.assert_allclose(res, 0, atol=1e-6)
+
+        # standard shift-invert via OPinv only (M=None), on eigs
+        lu2 = splu((A - sigma * sp.eye_array(n)).tocsc().astype(np.float64))
+        opinv2 = CallableOperator(_host_opinv(lu2), (n, n), np.float64,
+                                  nnz=A.nnz)
+        evals, _ = eigs(A, 3, sigma=sigma, OPinv=opinv2, tol=1e-9,
+                        maxiter=5000, key=jax.random.key(3))
+        sfull = np.sort(np.linalg.eigvalsh(A.todense()))
+        swant = np.sort(sfull[np.argsort(np.abs(sfull - sigma))[:3]])
+        np.testing.assert_allclose(np.sort(np.real(evals)), swant,
+                                   rtol=1e-7, atol=1e-8)
+
+        # scipy-mirroring validation errors
+        with pytest.raises(ValueError, match="OPinv"):
+            eigs(A, 2, OPinv=opinv2)
+        with pytest.raises(ValueError, match="Minv"):
+            eigs(A, 2, sigma=sigma, M=B, Minv=Minv)
+        with pytest.raises(ValueError, match="Minv"):
+            eigsh(A, 2, Minv=Minv)
+
     def test_eigsh_mode_guard(self):
         from arnoldi_tpu import eigsh
 
