@@ -1,9 +1,15 @@
 # Development targets (parity with the reference's Makefile: lint + tests).
 
-.PHONY: tests lint native bench clean
+.PHONY: tests tests-all lint native bench clean
 
+# Fast tier: excludes tests auto-marked `slow` in tests/conftest.py
+# (dw-refinement end-to-end runs, large halo sweeps).  < ~4 min serial.
 tests:
-	python -m pytest tests -q
+	python -m pytest tests -q -m "not slow"
+
+# Everything, sharded across workers (serial full run exceeds 25 min).
+tests-all:
+	python -m pytest tests -q -n 8
 
 lint:
 	-ruff check arnoldi_tpu tests bench.py __graft_entry__.py
