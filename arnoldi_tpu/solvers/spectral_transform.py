@@ -591,11 +591,21 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
             theta, vecs = theta[order], vecs[:, order]
         vals = (np.asarray(_transform_back(theta, sigma))
                 if sigma is not None else theta).real
-        # A real symmetric pencil lands in 1x1 real-Schur blocks; drop the
-        # zero imaginary part a complex (CPU) work dtype may carry.
+        # A real symmetric pencil has real eigenvectors, but a complex (CPU)
+        # work dtype can return them carrying a stray unit PHASE: transient
+        # complex Ritz pairs of the non-normal iteration operator M^{-1}A,
+        # retained by the thick restart, leave complex rounding in the
+        # basis, and an eigenvector is only defined up to a complex scalar.
+        # Rotate each column to its canonical phase (anchor = largest
+        # component), then drop the imaginary part, which is now pure noise
+        # at residual level.
         if np.iscomplexobj(vecs) and not np.issubdtype(
                 np.dtype(op.dtype), np.complexfloating):
-            vecs = np.real_if_close(vecs, tol=1e6)
+            anchor = np.take_along_axis(
+                vecs, np.argmax(np.abs(vecs), axis=0)[None, :], axis=0)[0]
+            phase = anchor / np.where(np.abs(anchor) == 0, 1.0,
+                                      np.abs(anchor))
+            vecs = (vecs * np.conj(phase)[None, :]).real
         # scipy contract: eigenvectors M-orthonormal.
         opM = as_operator(M, dtype=dtype)
         if np.iscomplexobj(vecs) and not np.issubdtype(

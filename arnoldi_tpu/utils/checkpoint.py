@@ -29,6 +29,7 @@ class RestartCheckpoint:
     matvecs: np.ndarray    # per-eigenvalue history
     restarts: np.ndarray
     residual_trace: list
+    k_lock: int = 0        # locked (converged, decoupled) leading pairs
 
 def save_checkpoint(path, ckpt: RestartCheckpoint):
     # np.savez appends ".npz" unless the name already ends with it; write to
@@ -44,6 +45,7 @@ def save_checkpoint(path, ckpt: RestartCheckpoint):
         matvecs=ckpt.matvecs,
         restarts=ckpt.restarts,
         residual_trace=np.asarray(ckpt.residual_trace, dtype=np.float64),
+        k_lock=ckpt.k_lock,
     )
     os.replace(tmp, path)
 
@@ -59,4 +61,5 @@ def load_checkpoint(path) -> RestartCheckpoint:
             matvecs=z["matvecs"],
             restarts=z["restarts"],
             residual_trace=list(z["residual_trace"]),
+            k_lock=int(z["k_lock"]) if "k_lock" in z else 0,
         )
