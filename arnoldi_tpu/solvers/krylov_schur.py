@@ -63,6 +63,35 @@ def _rotate_leading_rows(Vt, Qs, *, rows):
     return jax.lax.dynamic_update_slice(Vt, head, (0, 0))
 
 
+#: Host-tier row cap (override with ARNOLDI_HOST_TIER_N).  Below this the
+#: per-restart XLA dispatch overhead dominates the arithmetic on CPU and a
+#: plain NumPy/BLAS loop is ~10x faster end-to-end (measured at mark(100):
+#: 0.58 s warm device path vs 0.06 s host tier vs ARPACK 0.08 s).
+_HOST_TIER_MAX_N = 32768
+
+
+def _host_matvec(A, dtype):
+    """A host float64/complex128 matvec for the small-problem tier, or None
+    when ``A`` is not host-materializable (callables/jax operators)."""
+    import scipy.sparse as _sp
+
+    if _sp.issparse(A):
+        A_h = A.astype(dtype).tocsr()
+        return lambda v: A_h @ v
+    if isinstance(A, np.ndarray) and A.ndim == 2:
+        A_h = np.ascontiguousarray(A, dtype=dtype)
+        return lambda v: A_h @ v
+    return None
+
+
+def _host_truncate(Vt, Qp, *, p, m, carry=1):
+    """NumPy mirror of :func:`_truncate_basis` (same layout contract)."""
+    out = np.zeros_like(Vt)
+    out[:p] = Qp.T @ Vt[:m]
+    out[p : p + carry] = Vt[m : m + carry]
+    return out
+
+
 @partial(jax.jit, static_argnames=("p", "m", "max_dim", "ortho"))
 def _truncate_and_expand(op, Vt, Qp, H_new, invariant_tol, *, p, m, max_dim,
                          ortho):
@@ -250,6 +279,34 @@ def partial_schur(
         assert is_real_w, "dw refinement requires the real float32 path"
         tol = max(tol, 2e-4)  # f32-phase tolerance (the f32 residual floor)
 
+    # HOST TIER: small problems run the whole solve in NumPy/BLAS float64.
+    # Per-restart device dispatch + compile overhead costs more than the
+    # arithmetic below a few 10^4 rows (the reference's own regime), and
+    # the projected-matrix work is host-side anyway.  Engages only for the
+    # scalar driver on host-materializable operators at 64-bit work dtypes
+    # (the CPU x64 default), so device contracts (f32 dw refinement, mesh
+    # sharding, callable operators) are untouched.
+    import os as _os_ht
+
+    host_matvec = None
+    from .decomposition import HOST_ORTHO, host_arnoldi_expand
+    if (mesh is None and b == 1 and not do_refine
+            and np.dtype(wdtype) in (np.float64, np.complex128)
+            and ortho in HOST_ORTHO
+            and n <= int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N",
+                                            _HOST_TIER_MAX_N))):
+        host_matvec = _host_matvec(A, np.dtype(wdtype))
+    host_tier = host_matvec is not None
+    if (host_tier and dtype is None
+            and np.issubdtype(np.dtype(op.dtype), np.floating)
+            and (v0 is None or not np.iscomplexobj(v0))):
+        # A real operator on the host tier runs the REAL-arithmetic path
+        # (real Schur form, 2x2 blocks — the same machinery as the TPU
+        # fast path): complex128-over-real-values is 4x the flops and 2x
+        # the traffic for nothing.  ARPACK's dnaupd makes the same call.
+        wdtype = jax.dtypes.canonicalize_dtype(np.float64)
+        host_matvec = _host_matvec(A, np.dtype(wdtype))
+
     # Mesh execution pads the row dimension so every shard is the same size
     # (padding rows/columns are exactly zero and never enter the Krylov
     # space; Q is sliced back to n rows on return).
@@ -267,8 +324,12 @@ def partial_schur(
 
     # Transposed workspace: basis vectors are contiguous rows (the
     # reference's F-order lever, ~1.8x per-iteration on TPU).
-    V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
-    H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
+    if host_tier:
+        V = np.zeros((max_dim + b, n_solve), dtype=wdtype)
+        H = np.zeros((max_dim + b, max_dim), dtype=wdtype)
+    else:
+        V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
+        H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
 
     if mesh is not None:
         from ..parallel.sharded import shard_operator, shard_workspace
@@ -285,7 +346,10 @@ def partial_schur(
         v0 = v0 / jnp.linalg.norm(v0)
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
-    V = V.at[0, :].set(v0)
+    if host_tier:
+        V[0, :] = np.asarray(v0)
+    else:
+        V = V.at[0, :].set(v0)
     if b > 1:
         from ..ops.ortho import block_cgs2
 
@@ -326,8 +390,12 @@ def partial_schur(
         assert ck.V.shape == (max_dim + b, n_solve), (
             f"checkpoint shape {ck.V.shape} does not match workspace "
             f"{(max_dim + b, n_solve)}")
-        V = jnp.asarray(ck.V.astype(wdtype))
-        H = jnp.asarray(ck.H_hp.astype(wdtype))
+        if host_tier:
+            V = np.asarray(ck.V, dtype=wdtype)
+            H = ck.H_hp.astype(wdtype)
+        else:
+            V = jnp.asarray(ck.V.astype(wdtype))
+            H = jnp.asarray(ck.H_hp.astype(wdtype))
         if mesh is not None:
             from ..parallel.sharded import shard_workspace
 
@@ -353,6 +421,10 @@ def partial_schur(
                                          start_block=start_dim0 // b,
                                          n_blocks=max_dim // b, b=b)
             m = int(jb) * b
+        elif host_tier:
+            V, H, m = host_arnoldi_expand(
+                host_matvec, V, H, tol, start_dim=start_dim0,
+                max_dim=max_dim, ortho=ortho)
         else:
             V, H, n_iter = arnoldi_expand(
                 op, V, H, tol, start_dim=start_dim0, max_dim=max_dim,
@@ -492,8 +564,12 @@ def partial_schur(
                 T_out[:ka, ka:] = H_host[:ka, ka:m] @ Qa[:, :cr]
             T_out[ka:, ka:] = T2a[:cr, :cr]
             with clock("f32.final_truncate"):
-                V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype),
-                                    p=nev_ret, m=m, carry=b)
+                if host_tier:
+                    V = _host_truncate(V, Qp_full.astype(wdtype),
+                                       p=nev_ret, m=m, carry=b)
+                else:
+                    V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype),
+                                        p=nev_ret, m=m, carry=b)
             if ka:
                 # Locked pairs froze in lock order; re-sort the (small,
                 # fully converged, quasi-triangular) output globally so the
@@ -504,8 +580,11 @@ def partial_schur(
                 else:
                     T_out, Qs = dense_tier.ordered_schur(
                         T_out, sort_function=sort_function)
-                V = _rotate_leading_rows(
-                    V, jnp.asarray(Qs, dtype=wdtype), rows=nev_ret)
+                if host_tier:
+                    V[:nev_ret] = Qs.astype(wdtype).T @ V[:nev_ret]
+                else:
+                    V = _rotate_leading_rows(
+                        V, jnp.asarray(Qs, dtype=wdtype), rows=nev_ret)
             break
 
         ## Not converged: saturation bookkeeping for the block driver.
@@ -619,9 +698,12 @@ def partial_schur(
         H_trunc_hp = H_new[: pa + b, :pa].copy()
         prev_pa = pa
 
-        H = jnp.asarray(H_new.astype(wdtype))
-        if repl is not None:
-            H = jax.device_put(H, repl)
+        if host_tier:
+            H = H_new.astype(wdtype)
+        else:
+            H = jnp.asarray(H_new.astype(wdtype))
+            if repl is not None:
+                H = jax.device_put(H, repl)
         # After an unconverged saturation, zero the breakdown tolerance for
         # the NEXT expansion: the dead block's unit-renormalized rounding
         # noise then extends the space past the invariant subspace (the
@@ -632,8 +714,12 @@ def partial_schur(
         if checkpoint_path:
             # Two-dispatch path so the restart-boundary (truncated) state is
             # materializable for the checkpoint.
-            V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype), p=pa,
-                                m=m, carry=b)
+            if host_tier:
+                V = _host_truncate(V, Qp_full.astype(wdtype), p=pa, m=m,
+                                   carry=b)
+            else:
+                V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype),
+                                    p=pa, m=m, carry=b)
             if (restart + 1) % max(checkpoint_every, 1) == 0:
                 from ..utils.checkpoint import (
                     RestartCheckpoint,
@@ -655,6 +741,10 @@ def partial_schur(
                     op, V, H, exp_tol, start_block=pa // b,
                     n_blocks=max_dim // b, b=b)
                 n_iter = int(jb) * b
+            elif host_tier:
+                V, H, n_iter = host_arnoldi_expand(
+                    host_matvec, V, H, exp_tol, start_dim=pa,
+                    max_dim=max_dim, ortho=ortho)
             else:
                 V, H, n_iter = arnoldi_expand(
                     op, V, H, exp_tol, start_dim=pa, max_dim=max_dim,
@@ -669,6 +759,12 @@ def partial_schur(
                                          start_block=pa // b,
                                          n_blocks=max_dim // b, b=b)
             n_iter = int(jb) * b
+        elif host_tier:
+            V = _host_truncate(V, Qp_full.astype(wdtype), p=pa, m=m, carry=b)
+            with clock("f32.restart_dispatch"):
+                V, H, n_iter = host_arnoldi_expand(
+                    host_matvec, V, H, exp_tol, start_dim=pa,
+                    max_dim=max_dim, ortho=ortho)
         else:
             # Fused single-dispatch restart step.
             from ..ops.ortho import resolve_ortho as _r  # noqa: F401
@@ -729,6 +825,8 @@ def partial_schur(
         return Qr[:n], Tr, history
 
     history.phases = clock.report()
+    if host_tier:
+        V = jnp.asarray(V)
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
     schur_mat = jnp.asarray(T_out[:nev_ret, :nev_ret].astype(wdtype))
 
@@ -753,6 +851,20 @@ def eigenpairs_from_partial_schur(schur_vecs, schur_mat):
         # Real quasi-triangular T (real Krylov-Schur path) or a general
         # small matrix: plain dense eig.
         values, S = dense_tier.eig(T)
+
+    # Small CPU-resident bases: one BLAS gemm on the host.  Each distinct
+    # (n, nev) shape otherwise costs an XLA compilation — at the stress
+    # sweep's scale that is most of the post-processing wall time.
+    q_host = (isinstance(schur_vecs, np.ndarray)
+              or (isinstance(schur_vecs, jax.Array)
+                  and schur_vecs.device.platform == "cpu"
+                  and schur_vecs.size <= 2**22))
+    if q_host:
+        Qh = np.asarray(schur_vecs)
+        vectors = Qh.astype(np.result_type(Qh.dtype, S.dtype)) @ S
+        norms = np.linalg.norm(vectors, axis=0)
+        return values, vectors / np.where(norms == 0, 1.0, norms)[None, :]
+
     Q = jnp.asarray(schur_vecs)
     if np.iscomplexobj(S) and not jnp.issubdtype(Q.dtype, jnp.complexfloating):
         # Real basis, complex eigenvectors of T: two real device matmuls
