@@ -31,9 +31,17 @@ def main(argv=None):
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--warm", action="store_true",
                     help="run ours twice and time the warm run")
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="cpu (default): force CPU x64 in-process (the axon "
+                    "sitecustomize ignores JAX_PLATFORMS); 'default' keeps "
+                    "jax's pick (TPU under axon)")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     A = matrix_from_spec(args.matrix)
     params = EigensolverParameters(

@@ -33,11 +33,15 @@ def parse_args(argv=None):
     p.add_argument("--max-dim", type=int, default=None, dest="max_dim")
     p.add_argument("--max-it", type=int, default=2000, dest="max_it")
     p.add_argument("--p", type=int, default=None)
-    p.add_argument("--which", default="LM", choices=["LM", "LR", "SM", "SR", "LI"])
+    p.add_argument("--which", default="LM", choices=["LM", "LR", "SM", "SR", "LI", "SI"])
     p.add_argument("--dtype", default=None,
                    help="solver dtype (e.g. float32 for the TPU real path)")
     p.add_argument("--ortho", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                   help="cpu (default): force CPU x64 in-process (the axon "
+                   "sitecustomize ignores JAX_PLATFORMS); 'default' keeps "
+                   "jax's pick (TPU under axon)")
     return p.parse_args(argv)
 
 
@@ -45,6 +49,9 @@ def main(argv=None):
     import jax
 
     args = parse_args(argv)
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     A = matrix_from_spec(args.matrix)
     params = EigensolverParameters.from_cli_args(args)
 

@@ -68,7 +68,20 @@ def main(argv=None):
     ap.add_argument("--methods", default="krylov-schur,arpack",
                     help="comma list of krylov-schur,arpack,deflation")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "default"],
+                    help="cpu (default): force the CPU x64 path in-process "
+                    "— the ARPACK-oracle comparison is a host benchmark, "
+                    "and the axon sitecustomize IGNORES JAX_PLATFORMS; "
+                    "'default' keeps whatever backend jax picked (TPU "
+                    "under axon: f32 + dw refinement, tunnel latency in "
+                    "every elapsed column)")
     args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
 
     A = matrix_from_spec(args.matrix)
     n = A.shape[0]

@@ -542,4 +542,26 @@ def as_operator(A, dtype=None, format=None, backend=None):
                 return dataclasses.replace(op, backend=backend)
             return op
         raise ValueError(f"Unknown operator format {format!r}")
+    from scipy.sparse.linalg import LinearOperator as _ScipyLinOp
+
+    if isinstance(A, _ScipyLinOp):
+        # scipy-parity surface: Minv/OPinv/operators are frequently scipy
+        # LinearOperators.  The matvec is host code, reached through
+        # pure_callback so the jitted expansion can call it — CPU-only
+        # (the axon TPU runtime has no host callbacks; same caveat as the
+        # splu inner solver).
+        n_out, n_in = A.shape
+        op_dtype = jax.dtypes.canonicalize_dtype(
+            np.dtype(dtype) if dtype is not None
+            else (A.dtype if A.dtype is not None else np.float64))
+
+        def _host_mv(x):
+            return np.asarray(A.matvec(np.asarray(x))).astype(x.dtype)
+
+        def _mv(x):
+            return jax.pure_callback(
+                _host_mv, jax.ShapeDtypeStruct((n_out,), x.dtype), x,
+                vmap_method="sequential")
+
+        return CallableOperator(_mv, (n_out, n_in), op_dtype)
     raise TypeError(f"Cannot convert {type(A)} to a linear operator")

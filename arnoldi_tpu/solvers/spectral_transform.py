@@ -170,7 +170,11 @@ def _count_inner_solve(stats):
     stats.solves += 1
 
 
-def _transform_back(theta, sigma):
+def _transform_back(theta, sigma, mode="normal"):
+    if mode == "buckling":
+        return sigma * theta / (theta - 1.0)
+    if mode == "cayley":
+        return sigma * (theta + 1.0) / (theta - 1.0)
     return sigma + 1.0 / theta
 
 
@@ -320,14 +324,23 @@ def eigs_realified(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
 
 
 def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
-                         inner_tol=1e-10, maxiter=2000, dtype=None):
+                         inner_tol=1e-10, maxiter=2000, dtype=None,
+                         mode="normal"):
     """Operator for the generalized problem ``A x = lambda B x``.
 
     Without ``sigma``: ``B^{-1} A`` (eigenvalues unchanged).  With
-    ``sigma``: the generalized shift-invert ``(A - sigma B)^{-1} B``
-    (eigenvalues transform as ``lambda = sigma + 1/theta``).  The inverse
-    is an inner jittable Krylov solve, so the operator runs on TPU and
-    through shardings like any other.
+    ``sigma``, one of ARPACK's generalized spectral transforms (dsaupd
+    modes 3-5, the scipy ``eigsh(mode=)`` surface):
+
+    * ``"normal"`` — shift-invert ``(A - sigma B)^{-1} B``;
+      ``lambda = sigma + 1/theta``.
+    * ``"buckling"`` — ``(A - sigma B)^{-1} A``;
+      ``lambda = sigma * theta / (theta - 1)``.
+    * ``"cayley"`` — ``(A - sigma B)^{-1} (A + sigma B)``;
+      ``lambda = sigma * (theta + 1) / (theta - 1)``.
+
+    The inverse is an inner jittable Krylov solve, so the operator runs on
+    TPU and through shardings like any other.
     """
     opA = as_operator(A, dtype=dtype)
     opB = as_operator(B, dtype=dtype)
@@ -338,11 +351,14 @@ def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
 
     solvers = {"bicgstab": bicgstab, "cg": cg, "gmres": gmres}
     solve_fn = solvers[solver]
+    # Same indefinite-system hygiene as shift_invert_operator: restarted
+    # GMRES stagnates with the default tiny window.
+    extra = {"restart": 80} if solver == "gmres" else {}
 
     if sigma is None:
         def mv(x):
             y, _ = solve_fn(opB.matvec, opA.matvec(x), tol=inner_tol,
-                            maxiter=maxiter)
+                            maxiter=maxiter, **extra)
             return y
     else:
         sig = np.asarray(sigma).item()
@@ -350,16 +366,25 @@ def generalized_operator(A, B, sigma=None, *, solver="bicgstab",
         def shifted(x):
             return opA.matvec(x) - sig * opB.matvec(x)
 
+        if mode == "buckling":
+            rhs = opA.matvec
+        elif mode == "cayley":
+            def rhs(x):
+                return opA.matvec(x) + sig * opB.matvec(x)
+        else:
+            rhs = opB.matvec
+
         def mv(x):
-            y, _ = solve_fn(shifted, opB.matvec(x), tol=inner_tol,
-                            maxiter=maxiter)
+            y, _ = solve_fn(shifted, rhs(x), tol=inner_tol,
+                            maxiter=maxiter, **extra)
             return y
 
     return CallableOperator(mv, (n, n), opA.dtype,
                             nnz=opA.nnz + opB.nnz)
 
 
-def _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype):
+def _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype,
+                              mode="normal"):
     """scipy's user-supplied-inverse surface: the outer operator built from
     ``Minv`` (inverse of M; used when ``sigma is None``) or ``OPinv``
     (inverse of ``A - sigma M`` / ``A - sigma I``; used with ``sigma``),
@@ -372,12 +397,20 @@ def _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype):
             raise ValueError("OPinv should not be specified "
                              "unless sigma is specified")
         opinv = as_operator(OPinv, dtype=dtype)
-        if M is None:
+        if M is None and mode == "normal":
             return opinv
-        opM = as_operator(M, dtype=dtype)
+        opM = as_operator(M, dtype=dtype) if M is not None else None
+        sig = np.asarray(sigma).item()
+        if mode == "buckling":
+            rhs = op.matvec
+        elif mode == "cayley":
+            def rhs(x):
+                return op.matvec(x) + sig * opM.matvec(x)
+        else:
+            rhs = opM.matvec
         return CallableOperator(
-            lambda x: opinv.matvec(opM.matvec(x)), op.shape, op.dtype,
-            nnz=opinv.nnz + opM.nnz)
+            lambda x: opinv.matvec(rhs(x)), op.shape, op.dtype,
+            nnz=opinv.nnz + op.nnz + (opM.nnz if opM is not None else 0))
     if Minv is not None:
         if sigma is not None:
             raise ValueError("Minv should not be specified "
@@ -518,8 +551,11 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
     recovers them with real quasi-Schur 1x1 blocks; eigenvectors are
     returned M-orthonormalized (scipy contract).  ``Minv``/``OPinv``
     supply the pencil inverses explicitly (scipy parity) and skip the
-    inner solves.  Only ``mode='normal'`` is implemented (no
-    buckling/cayley transforms).
+    inner solves.  ``mode`` selects ARPACK's generalized spectral
+    transform (scipy parity): 'normal' (shift-invert), 'buckling'
+    (``OP = (A - sigma M)^{-1} A``, B = A) or 'cayley'
+    (``OP = (A - sigma M)^{-1} (A + sigma M)``, B = M); the latter two
+    require ``sigma`` and ``M``.
 
     ``which='BE'`` (both ends; scipy parity) returns ``k - k//2`` pairs
     from the high end and ``k//2`` from the low end, via two restarted
@@ -527,10 +563,18 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
     """
     from .lanczos import SYM_SORTS, partial_eigh
 
+    if mode not in ("normal", "buckling", "cayley"):
+        raise ValueError(
+            f"mode={mode!r}: expected 'normal', 'buckling' or 'cayley'")
     if mode != "normal":
-        raise NotImplementedError(
-            f"mode={mode!r}: only 'normal' is implemented (no "
-            f"buckling/cayley spectral transforms)")
+        # ARPACK dsaupd modes 4/5 (scipy parity): generalized transforms
+        # requiring a shift.  buckling: OP = (A - sigma M)^{-1} A;
+        # cayley: OP = (A - sigma M)^{-1} (A + sigma M).
+        if sigma is None:
+            raise ValueError(f"mode={mode!r} requires sigma")
+        if M is None:
+            raise ValueError(f"mode={mode!r} requires M (generalized "
+                             "problem)")
     if which == "BE":
         # scipy: half from each end of the spectrum; odd k sends the extra
         # pair to the HIGH end.  Two independent restarted solves — the
@@ -557,7 +601,8 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
         return vals
 
     op = as_operator(A, dtype=dtype)
-    explicit = _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype)
+    explicit = _explicit_pencil_operator(op, M, sigma, Minv, OPinv, dtype,
+                                         mode=mode)
     if M is not None:
         from .krylov_schur import (
             eigenpairs_from_partial_schur,
@@ -568,7 +613,8 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
             tol = float(np.sqrt(np.finfo(op.dtype).eps))
         itol = inner_tol if inner_tol is not None else tol * 1e-2
         gop = explicit if explicit is not None else generalized_operator(
-            op, M, sigma, solver=inner_solver, inner_tol=itol, dtype=dtype)
+            op, M, sigma, solver=inner_solver, inner_tol=itol, dtype=dtype,
+            mode=mode)
         # `which` acts on the pencil eigenvalues (sigma None) or on the
         # transformed nu = 1/(lambda - sigma) (scipy contract); both are
         # real, so the symmetric sorts map onto the real-Arnoldi ones.
@@ -589,7 +635,7 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
         if len(theta) > k:
             order = np.asarray(sort_function(theta))[:k]
             theta, vecs = theta[order], vecs[:, order]
-        vals = (np.asarray(_transform_back(theta, sigma))
+        vals = (np.asarray(_transform_back(theta, sigma, mode))
                 if sigma is not None else theta).real
         # A real symmetric pencil has real eigenvectors, but a complex (CPU)
         # work dtype can return them carrying a stray unit PHASE: transient
@@ -606,8 +652,10 @@ def eigsh(A, k=6, *, which="LM", sigma=None, M=None, Minv=None, OPinv=None,
             phase = anchor / np.where(np.abs(anchor) == 0, 1.0,
                                       np.abs(anchor))
             vecs = (vecs * np.conj(phase)[None, :]).real
-        # scipy contract: eigenvectors M-orthonormal.
-        opM = as_operator(M, dtype=dtype)
+        # scipy contract: eigenvectors B-orthonormal in the transform's
+        # inner product (B = A in buckling mode, M otherwise — ARPACK's
+        # own B choice for dsaupd modes 3-5).
+        opM = as_operator(A if mode == "buckling" else M, dtype=dtype)
         if np.iscomplexobj(vecs) and not np.issubdtype(
                 np.dtype(opM.dtype), np.complexfloating):
             # complex Hermitian A over a real M: apply M limb-wise

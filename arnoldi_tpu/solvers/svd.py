@@ -23,8 +23,9 @@ __all__ = ["svds"]
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
-         dtype=None, key=None, v0=None, block_size=1,
+def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
+         maxiter=1000, dtype=None, key=None, v0=None, block_size=1,
+         inner_solver="gmres", inner_tol=None,
          return_singular_vectors=True):
     """Compute ``k`` singular triplets of ``A`` (any shape; wide matrices
     are handled by running Lanczos on ``A A^H`` internally).
@@ -32,9 +33,14 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     Returns ``(U, s, Vh)`` like scipy.sparse.linalg.svds (with ``s``
     ascending), or just ``s`` when ``return_singular_vectors=False``.
     ``which='LM'`` selects the largest singular values, ``'SM'`` the
-    smallest (slow convergence, like ARPACK without shift-invert — prefer
-    modest ``k`` and generous ``maxiter``).  ``v0`` is the scipy start
-    vector of length ``min(A.shape)`` (the Gram dimension).
+    smallest.  ``sigma`` (an extension over scipy's svds, which has no
+    shift-invert surface at all — MATLAB-svds-style) selects the ``k``
+    singular values NEAREST ``sigma`` via shift-invert Lanczos on the Gram
+    operator at ``sigma**2``; the inner solve is an iterative Krylov solve
+    (``inner_solver``, default GMRES — the shifted Gram is indefinite),
+    so small-end spectra no longer need the slow direct ``which='SM'``
+    iteration.  ``v0`` is the scipy start vector of length
+    ``min(A.shape)`` (the Gram dimension).
     """
     if which not in ("LM", "SM"):
         raise ValueError(
@@ -66,11 +72,33 @@ def svds(A, k=6, *, which="LM", tol=None, ncv=None, maxiter=1000,
     if v0 is not None:
         v0 = np.asarray(v0)
         assert v0.shape == (gram_dim,), (v0.shape, gram_dim)
-    theta, W, hist = partial_eigh(
-        gram, k, which=eig_which, max_dim=ncv, stopping_criterion=tol,
-        max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
-        block_size=block_size,
-    )
+    if sigma is not None:
+        # Shift-invert on the Gram operator: Gram eigenvalues are
+        # sigma_i^2, so singular values nearest |sigma| are Gram
+        # eigenvalues nearest sigma^2.  The transformed problem is solved
+        # for its LARGEST eigenvalues (nu = 1/(theta - sigma^2)) and
+        # back-transformed.
+        from .spectral_transform import (_transform_back,
+                                         shift_invert_operator)
+
+        sig2 = float(np.real(sigma)) ** 2
+        if tol is None:
+            tol = float(np.sqrt(np.finfo(op.dtype).eps))
+        itol = inner_tol if inner_tol is not None else tol * 1e-2
+        si = shift_invert_operator(gram, sig2, solver=inner_solver,
+                                   inner_tol=itol, dtype=dtype)
+        nu, W, hist = partial_eigh(
+            si, k, which="LM", max_dim=ncv, stopping_criterion=tol,
+            max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
+            block_size=block_size,
+        )
+        theta = np.asarray(_transform_back(np.asarray(nu), sig2)).real
+    else:
+        theta, W, hist = partial_eigh(
+            gram, k, which=eig_which, max_dim=ncv, stopping_criterion=tol,
+            max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
+            block_size=block_size,
+        )
     theta = np.maximum(np.asarray(theta), 0.0)
     order = np.argsort(theta)  # scipy returns ascending singular values
     s = np.sqrt(theta[order])

@@ -1,6 +1,7 @@
 from .sorting import (
     SORT_FUNCTIONS,
     arg_largest_imaginary,
+    arg_smallest_imaginary,
     arg_largest_magnitude,
     arg_largest_real,
     arg_smallest_magnitude,
@@ -19,6 +20,7 @@ __all__ = [
     "arg_largest_magnitude",
     "arg_largest_real",
     "arg_largest_imaginary",
+    "arg_smallest_imaginary",
     "arg_smallest_magnitude",
     "arg_smallest_real",
     "sort_function_for",

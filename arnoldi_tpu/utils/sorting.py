@@ -38,12 +38,18 @@ def arg_largest_imaginary(x):
     return np.argsort(-np.imag(np.asarray(x)), kind="stable")
 
 
+def arg_smallest_imaginary(x):
+    """Indices sorting ``x`` by increasing imaginary part (ARPACK "SI")."""
+    return np.argsort(np.imag(np.asarray(x)), kind="stable")
+
+
 SORT_FUNCTIONS = {
     "LM": arg_largest_magnitude,
     "LR": arg_largest_real,
     "SM": arg_smallest_magnitude,
     "SR": arg_smallest_real,
     "LI": arg_largest_imaginary,
+    "SI": arg_smallest_imaginary,
 }
 
 

@@ -258,12 +258,14 @@ class TestGeneralized:
             eigsh(A, 2, Minv=Minv)
 
     def test_eigsh_mode_guard(self):
+        # buckling/cayley are IMPLEMENTED (TestSpectralModes); only an
+        # unknown mode string rejects now.
         from arnoldi_tpu import eigsh
 
         A = laplace(20).tocsr()
         B = sp.eye_array(20).tocsr()
-        with pytest.raises(NotImplementedError, match="buckling"):
-            eigsh(A, 2, M=B, sigma=1.0, mode="buckling")
+        with pytest.raises(ValueError, match="expected 'normal'"):
+            eigsh(A, 2, M=B, sigma=1.0, mode="shift-and-pray")
         with pytest.raises(ValueError, match="not supported with M"):
             eigsh(A, 2, M=B, which="XX")
 
@@ -396,3 +398,118 @@ class TestRealified:
         v = eigs_realified(B, 6, which="LM", ncv=10, tol=1e-8, maxiter=3000,
                            return_eigenvectors=False)
         assert len(v) == 6
+
+
+class TestSpectralModes:
+    """ARPACK generalized transforms (scipy eigsh mode=) and svds sigma."""
+
+    def _pencil(self, n=60):
+        from arnoldi_tpu.matrices import laplace
+
+        A = (-laplace(n)).tocsr()          # SPD
+        M = sp.diags_array(np.linspace(1, 2, n)).tocsr()
+        return A, M
+
+    @pytest.mark.parametrize("mode", ["buckling", "cayley"])
+    def test_mode_matches_scipy(self, mode):
+        import scipy.sparse.linalg as ssla
+
+        from arnoldi_tpu import eigsh
+
+        A, M = self._pencil()
+        sigma = 1.5
+        ref_vals, _ = ssla.eigsh(A, 4, M=M, sigma=sigma, mode=mode,
+                                 which="LM")
+        vals, vecs = eigsh(A, 4, M=M, sigma=sigma, mode=mode, which="LM",
+                           tol=1e-9, maxiter=5000, key=jax.random.key(1),
+                           inner_solver="gmres")
+        np.testing.assert_allclose(np.sort(vals), np.sort(ref_vals),
+                                   atol=1e-9)
+        r = np.linalg.norm(A @ vecs - (M @ vecs) * vals[None, :], axis=0)
+        assert r.max() < 1e-8
+        # B-normalization: B = A for buckling, M for cayley (ARPACK's
+        # dsaupd mode-4/5 inner products)
+        B = A if mode == "buckling" else M
+        np.testing.assert_allclose(
+            np.einsum("ij,ij->j", vecs, B @ vecs), 1.0, atol=1e-8)
+
+    @pytest.mark.parametrize("mode", ["buckling", "cayley"])
+    def test_mode_opinv_explicit(self, mode):
+        from scipy.sparse.linalg import LinearOperator, splu
+
+        from arnoldi_tpu import eigsh
+
+        A, M = self._pencil()
+        sigma = 1.5
+        lu = splu((A - sigma * M).tocsc())
+
+        def _solve(b):
+            if np.iscomplexobj(b):   # complex128 CPU work dtype
+                return (lu.solve(b.real.astype(np.float64))
+                        + 1j * lu.solve(b.imag.astype(np.float64)))
+            return lu.solve(np.asarray(b, np.float64))
+
+        OPinv = LinearOperator(A.shape, matvec=_solve, dtype=np.float64)
+        vals, vecs = eigsh(A, 3, M=M, sigma=sigma, mode=mode, which="LM",
+                           tol=1e-9, maxiter=5000, key=jax.random.key(2),
+                           OPinv=OPinv)
+        r = np.linalg.norm(A @ vecs - (M @ vecs) * vals[None, :], axis=0)
+        assert r.max() < 1e-8
+
+    def test_mode_validation(self):
+        from arnoldi_tpu import eigsh
+
+        A, M = self._pencil(30)
+        with pytest.raises(ValueError, match="requires sigma"):
+            eigsh(A, 2, M=M, mode="buckling")
+        with pytest.raises(ValueError, match="requires M"):
+            eigsh(A, 2, sigma=1.0, mode="cayley")
+        with pytest.raises(ValueError, match="expected 'normal'"):
+            eigsh(A, 2, M=M, sigma=1.0, mode="bogus")
+
+    def test_svds_sigma_interior(self):
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((120, 80))
+        sv = np.linalg.svd(A, compute_uv=False)
+        target = float(np.median(sv))
+        U, s, Vh = svds(A, 4, sigma=target, tol=1e-10, maxiter=3000,
+                        key=jax.random.key(0))
+        want = np.sort(sv[np.argsort(np.abs(sv - target))[:4]])
+        np.testing.assert_allclose(np.sort(s), want, atol=1e-8)
+        np.testing.assert_allclose(A @ Vh.conj().T, U * s[None, :],
+                                   atol=1e-7)
+
+    def test_svds_sigma_zero_is_smallest(self):
+        rng = np.random.default_rng(6)
+        A = rng.standard_normal((90, 60))
+        sv = np.sort(np.linalg.svd(A, compute_uv=False))
+        s = svds(A, 3, sigma=0.0, tol=1e-10, maxiter=3000,
+                 key=jax.random.key(0), return_singular_vectors=False)
+        np.testing.assert_allclose(np.sort(np.asarray(s)), sv[:3],
+                                   atol=1e-8)
+
+
+class TestSortSelectors:
+    def test_si_selector(self):
+        from arnoldi_tpu.utils.sorting import sort_function_for
+
+        x = np.array([1 + 2j, 1 - 3j, 0.5 + 0j, -2 - 1j])
+        np.testing.assert_array_equal(sort_function_for("SI")(x),
+                                      [1, 3, 2, 0])
+        np.testing.assert_array_equal(sort_function_for("LI")(x),
+                                      [0, 2, 3, 1])
+
+    def test_si_end_to_end(self):
+        # eigs(which='SI') on a rotation-like matrix with known imaginary
+        # structure: smallest imaginary part = most negative frequencies.
+        from arnoldi_tpu import eigs
+
+        rng = np.random.default_rng(7)
+        n = 40
+        S = rng.standard_normal((n, n))
+        A = S - S.T + 0.1 * np.eye(n)  # skew + shift: pure-imag pairs
+        vals = eigs(np.asarray(A), 4, which="SI", tol=1e-9, maxiter=2000,
+                    key=jax.random.key(3), return_eigenvectors=False)
+        full = np.linalg.eigvals(A)
+        want = np.sort(full[np.argsort(np.imag(full))[:4]].imag)
+        np.testing.assert_allclose(np.sort(np.imag(vals)), want, atol=1e-7)
