@@ -384,22 +384,35 @@ def partial_schur(
     import os as _os
 
     if resume and checkpoint_path and _os.path.exists(checkpoint_path):
-        from ..utils.checkpoint import load_checkpoint
+        from ..utils.checkpoint import (checkpoint_is_sharded,
+                                        load_checkpoint,
+                                        load_checkpoint_sharded)
 
-        ck = load_checkpoint(checkpoint_path)
-        assert ck.V.shape == (max_dim + b, n_solve), (
-            f"checkpoint shape {ck.V.shape} does not match workspace "
-            f"{(max_dim + b, n_solve)}")
+        # The snapshot holds the HEAD rows V[:pa+b] (truncated basis +
+        # carry block) — the complete restart-boundary state.  The rest of
+        # the freshly-allocated workspace stays zero and is refilled by the
+        # next expansion.
+        if checkpoint_is_sharded(checkpoint_path):
+            assert mesh is not None, (
+                "sharded checkpoint: pass the mesh it was saved under")
+            ck = load_checkpoint_sharded(checkpoint_path, mesh)
+        else:
+            ck = load_checkpoint(checkpoint_path)
+        head = ck.pa + b
+        assert ck.H_hp.shape == (max_dim + b, max_dim), (
+            f"checkpoint H shape {ck.H_hp.shape} does not match workspace "
+            f"{(max_dim + b, max_dim)}")
+        assert ck.V.shape == (head, n_solve), (ck.V.shape, (head, n_solve))
         if host_tier:
-            V = np.asarray(ck.V, dtype=wdtype)
+            V[:head] = np.asarray(ck.V, dtype=wdtype)
             H = ck.H_hp.astype(wdtype)
         else:
-            V = jnp.asarray(ck.V.astype(wdtype))
+            Vh_dev = (ck.V.astype(wdtype) if isinstance(ck.V, jax.Array)
+                      else jnp.asarray(np.asarray(ck.V).astype(wdtype)))
+            V = V.at[:head, :].set(Vh_dev)
             H = jnp.asarray(ck.H_hp.astype(wdtype))
-        if mesh is not None:
-            from ..parallel.sharded import shard_workspace
-
-            V, H = shard_workspace(V, H, mesh)
+            if repl is not None:
+                H = jax.device_put(H, repl)
         H_trunc_hp = ck.H_hp[: ck.pa + b, : ck.pa].copy()
         prev_pa = ck.pa
         k_lock0 = ck.k_lock
@@ -711,46 +724,7 @@ def partial_schur(
         # exact zero block still reads as breakdown via the relative
         # rank-deficiency floor, so this cannot loop on exact invariance.
         exp_tol = 0.0 if reseed else tol
-        if checkpoint_path:
-            # Two-dispatch path so the restart-boundary (truncated) state is
-            # materializable for the checkpoint.
-            if host_tier:
-                V = _host_truncate(V, Qp_full.astype(wdtype), p=pa, m=m,
-                                   carry=b)
-            else:
-                V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype),
-                                    p=pa, m=m, carry=b)
-            if (restart + 1) % max(checkpoint_every, 1) == 0:
-                from ..utils.checkpoint import (
-                    RestartCheckpoint,
-                    save_checkpoint,
-                )
-
-                save_checkpoint(checkpoint_path, RestartCheckpoint(
-                    V=np.asarray(V), H_hp=H_new, pa=pa, restart=restart + 1,
-                    total_matvecs=total_matvecs,
-                    matvecs=history.matvecs.copy(),
-                    restarts=history.restarts.copy(),
-                    residual_trace=list(history.residual_trace),
-                    k_lock=k_lock,
-                ))
-            if b > 1:
-                from .decomposition import _block_expand_jit
-
-                V, H, jb = _block_expand_jit(
-                    op, V, H, exp_tol, start_block=pa // b,
-                    n_blocks=max_dim // b, b=b)
-                n_iter = int(jb) * b
-            elif host_tier:
-                V, H, n_iter = host_arnoldi_expand(
-                    host_matvec, V, H, exp_tol, start_dim=pa,
-                    max_dim=max_dim, ortho=ortho)
-            else:
-                V, H, n_iter = arnoldi_expand(
-                    op, V, H, exp_tol, start_dim=pa, max_dim=max_dim,
-                    ortho=ortho
-                )
-        elif b > 1:
+        if b > 1:
             from .decomposition import _block_expand_jit
 
             V = _truncate_basis(V, jnp.asarray(Qp_full, dtype=wdtype), p=pa,
@@ -777,6 +751,29 @@ def partial_schur(
                     p=pa, m=m, max_dim=max_dim, ortho=ortho,
                 )
                 n_iter = int(n_iter)
+        if checkpoint_path and (restart + 1) % max(checkpoint_every, 1) == 0:
+            # The expansion only APPENDS rows past pa+b, so the head rows of
+            # the post-dispatch workspace ARE the restart-boundary state —
+            # the checkpoint rides the fused dispatch (no extra truncation
+            # pass) and moves only (pa+b) rows, per process under a mesh.
+            from ..utils.checkpoint import (RestartCheckpoint,
+                                            save_checkpoint,
+                                            save_checkpoint_sharded)
+
+            head = pa + b
+            ckpt = RestartCheckpoint(
+                V=V[:head], H_hp=H_new, pa=pa, restart=restart + 1,
+                total_matvecs=total_matvecs,
+                matvecs=history.matvecs.copy(),
+                restarts=history.restarts.copy(),
+                residual_trace=list(history.residual_trace),
+                k_lock=k_lock,
+            )
+            with clock("f32.checkpoint"):
+                if mesh is not None:
+                    save_checkpoint_sharded(checkpoint_path, ckpt)
+                else:
+                    save_checkpoint(checkpoint_path, ckpt)
         m_new = int(n_iter)
         total_matvecs += m_new - pa
         m = m_new
@@ -857,7 +854,8 @@ def eigenpairs_from_partial_schur(schur_vecs, schur_mat):
     # sweep's scale that is most of the post-processing wall time.
     q_host = (isinstance(schur_vecs, np.ndarray)
               or (isinstance(schur_vecs, jax.Array)
-                  and schur_vecs.device.platform == "cpu"
+                  and schur_vecs.is_fully_addressable
+                  and list(schur_vecs.devices())[0].platform == "cpu"
                   and schur_vecs.size <= 2**22))
     if q_host:
         Qh = np.asarray(schur_vecs)

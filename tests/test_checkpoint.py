@@ -106,3 +106,54 @@ def test_resume_without_file_starts_fresh(tmp_path):
     Qh, Th = np.asarray(Q), np.asarray(T)
     res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
     np.testing.assert_allclose(res, 0, atol=1e-8)
+
+
+def test_sharded_checkpoint_resume_under_mesh(tmp_path):
+    """Mesh checkpointing writes per-process shard files of the HEAD rows
+    only (never a gathered full workspace) and resumes bit-compatibly."""
+    import os
+
+    from arnoldi_tpu.parallel.mesh import make_mesh
+    from arnoldi_tpu.utils.checkpoint import (checkpoint_is_sharded,
+                                              load_checkpoint)
+
+    A = mark(15)  # n = 120
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    kwargs = dict(
+        max_dim=12, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5), mesh=mesh,
+        dtype=np.float64, refine=None,
+    )
+    ckpt = str(tmp_path / "mesh_ks.npz")
+
+    Q_ref, T_ref, h_ref = partial_schur(A, 3, max_restarts=5000, **kwargs)
+    total_restarts = int(h_ref.restarts.max())
+    assert total_restarts > 3
+
+    budget = max(2, total_restarts // 2)
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=budget, checkpoint_path=ckpt,
+                      **kwargs)
+
+    # On-disk contract: sharded meta + one shard file per process, holding
+    # only the head rows (pa+1, n_local) — not the (max_dim+1, n) workspace.
+    assert checkpoint_is_sharded(ckpt)
+    assert os.path.exists(ckpt + ".p0")
+    ck = load_checkpoint(ckpt)
+    assert ck.V is None  # basis is NOT in the meta file
+    with np.load(ckpt + ".p0") as z:
+        shard_rows = {z[k].shape[0] for k in z.files}
+        shard_cols = sum(z[k].shape[1] for k in z.files)
+    assert shard_rows == {ck.pa + 1}
+    assert shard_cols >= A.shape[0]  # all 8 shards live in this process
+
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T_ref)))
+    v2 = np.sort_complex(np.linalg.eigvals(Th))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+    assert int(h.restarts.max()) >= budget
