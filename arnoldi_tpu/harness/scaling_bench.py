@@ -90,6 +90,19 @@ def run_scaling(n_grid=256, device_counts=(1, 2, 4, 8), max_dim=40,
         for r in results:
             r["efficiency"] = round(
                 (r["nnz_per_s"] / r["devices"]) / base_per_dev, 4)
+    # Honesty label: on virtual CPU devices every "shard" shares one
+    # socket, so the efficiency column validates the MECHANISM (sharded
+    # compile, collectives, no pathological comms) but says nothing about
+    # ICI/DCN scaling — the BASELINE >=70% @ >=2 hosts target needs real
+    # hardware.  Label every row so the JSON cannot be mistaken for a
+    # hardware measurement.
+    backend = jax.devices()[0].platform
+    kind = ("hardware" if backend == "tpu"
+            else "virtual-device mechanism check (single host CPU; "
+                 "efficiency is NOT an interconnect measurement)")
+    for r in results:
+        r["measurement"] = kind
+        r["backend"] = backend
     return results
 
 
