@@ -21,6 +21,27 @@ the only traffic this fusion saves (re-reading w for the norm, ~2 MB vs
 the 170 MB basis read) is negligible.  The kernel therefore stays a
 non-default registered alternative (``ortho="cgs2_pallas"``), kept for the
 measurement harness and as the base for future manual-DMA variants.
+
+ROUND-3 MEASUREMENT (second shot at the bandwidth bound, slope-method
+timing — one scalar host pull per multi-cycle window, t(8c)-t(2c)
+difference, which removes the ~100 ms tunnel sync that best-of-window
+block_until_ready timing folded into every rep):
+
+* scalar cgs2 baseline: 0.605 ms/matvec = 402 MB of basis reads per
+  iteration at ~665 GB/s — 81% of the v5e's 819 GB/s HBM peak.  The
+  4-read structure (2 projection + 2 update passes) is CGS2's minimum.
+* bf16 SHADOW BASIS variant (projection coefficients read from a
+  resident bfloat16 copy, subtractions exact against the f32 basis:
+  12 B/element instead of 16): 0.688 ms/matvec — SLOWER despite 25%
+  fewer bytes.  The bf16 gemv pair does not beat the f32 one on the
+  VPU-bound (m+1, n) x (n,) shape, maintaining the shadow costs an
+  extra buffer copy per segment, and basis orthogonality degrades to
+  ~2e-5 (bf16-accurate coefficients).  Negative result; not adopted.
+* expansion segment width sweep (8/16/32): 0.607/0.605/0.716 — the
+  default ``_EXPAND_SEG = 16`` is already optimal.
+* block drivers amortize the basis reads across b matvecs and remain
+  the real lever: block-4 0.402, block-8 0.404 ms/matvec (saturated on
+  SpMV + CholQR overhead, not reads).
 """
 
 from functools import partial

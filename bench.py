@@ -100,25 +100,38 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3, b=1, reps=3):
 
     v0 = rand_normalized_vector(jax.random.key(0), n, dtype)
     V2, _, _ = one_cycle(v0)          # compile + warm
-    jax.block_until_ready(V2)
+    _ = float(V2[5, 123])             # force-complete through the tunnel
 
-    # Each timed cycle starts from a FRESH keyed random vector: the remote
-    # TPU terminal replays cached results for bit-identical dispatches, and
-    # output-chained start vectors can converge to a fixed point after one
-    # cycle (making later reps replays too).  Distinct keys guarantee
-    # distinct computations.  BEST of `reps` windows: a single window
-    # through the tunnel can absorb a multi-hundred-ms latency hiccup
-    # (measured 0.94 vs 0.60 ms/matvec run-to-run on identical code).
-    per_iter = np.inf
-    for r in range(reps):
+    # SLOPE timing: time a 2-cycle and an 8-cycle window (each ended by ONE
+    # explicit scalar host pull — `block_until_ready` is NOT a reliable
+    # sync through the remote tunnel) and divide the DIFFERENCE by the
+    # extra matvecs.  This cancels the constant per-window tunnel cost
+    # (~100 ms sync RTT + dispatch latency) that best-of-window timing
+    # folded into every rep.  Each cycle starts from a FRESH keyed random
+    # vector: the remote terminal replays cached results for bit-identical
+    # dispatches, and output-chained start vectors can hit a fixed point
+    # after one cycle.  BEST of `reps` window pairs: one window can absorb
+    # a multi-hundred-ms latency hiccup.
+    c_lo, c_hi = cycles - 1, 3 * cycles - 1
+
+    def window(n_cycles, key0):
         t0 = time.perf_counter()
-        for i in range(cycles):
-            v0 = rand_normalized_vector(
-                jax.random.key(1000 + r * cycles + i), n, dtype)
-            V2, _, _ = one_cycle(v0)
-        jax.block_until_ready(V2)
+        Vx = V2
+        for i in range(n_cycles):
+            v = rand_normalized_vector(jax.random.key(key0 + i), n, dtype)
+            Vx, _, _ = one_cycle(v)
+        _ = float(Vx[7, 999])
+        return time.perf_counter() - t0
+
+    per_iter = np.inf
+    k = 1000
+    for r in range(reps):
+        t_lo = window(c_lo, k)
+        k += c_lo
+        t_hi = window(c_hi, k)
+        k += c_hi
         per_iter = min(per_iter,
-                       (time.perf_counter() - t0) / (cycles * max_dim))
+                       (t_hi - t_lo) / ((c_hi - c_lo) * max_dim))
     return op, per_iter, {
         "n": n, "nnz": int(op.nnz), "max_dim": max_dim,
         "nnz_per_s": op.nnz / per_iter,
