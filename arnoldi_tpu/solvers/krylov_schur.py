@@ -638,10 +638,24 @@ def partial_schur(
             # of distinct static shapes per solve (each fused
             # truncate+expand shape is one XLA compilation) and never
             # fewer retained directions than the policy asks.
+            # Quantum choice: every distinct pa is a fresh XLA compilation
+            # of the fused truncate+expand dispatch.  The host tier pays
+            # nothing per shape (fine quanta, fully adaptive); the DEVICE
+            # path pays ~10 s per shape through a remote-TPU tunnel, so
+            # its quantum is a third of the nev..max_dim span — the pa
+            # ladder has at most ~3 deterministic rungs per solve
+            # geometry, the warm/first solve compiles them all, and the
+            # retention still grows with the converged count (freezing it
+            # entirely costs 45% extra matvecs at nev=3ncv/4 on the
+            # mark(100) grid; the coarse ladder costs ~0-6%).
             raw = max(k_new + max((m - k_new) // 2, 1),
                       nev + min(k_new, max((m - nev) // 2, 1)))
-            q = 8 if max_dim >= 64 else 4
+            if host_tier:
+                q = 8 if max_dim >= 64 else 4
+            else:
+                q = max(8, -(-(max_dim - nev) // 3))
             pa = min(-(-raw // q) * q, m - 1)
+            pa = max(pa, min(k_new + 1, m - 1))     # window never empty
         else:
             pa = min(p, m) if happy_breakdown else p
         ca = pa - ka             # cut position within the active window
