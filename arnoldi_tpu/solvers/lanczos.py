@@ -348,6 +348,25 @@ def partial_eigh(
         vals = np.diag(Tr)[:nev].copy()
         return vals, Qr[:n, :nev], hist
 
+    # HOST TIER (see krylov_schur._host_matvec): small Hermitian problems
+    # run the whole restart loop in NumPy/BLAS — no dispatches, no device-
+    # loop compile (the one-dispatch device loop is the right call on TPU,
+    # but its per-shape compile costs seconds, which dominates one-shot
+    # small solves; ARPACK answers these in tens of ms).
+    import os as _os_ht
+
+    from .decomposition import HOST_ORTHO, host_arnoldi_expand
+    from .krylov_schur import _HOST_TIER_MAX_N, _host_matvec, _host_truncate
+
+    host_matvec = None
+    if (mesh is None and b == 1 and not do_refine and device_loop is not True
+            and np.dtype(wdtype) in (np.float64, np.complex128)
+            and isinstance(ortho, str) and ortho in HOST_ORTHO
+            and n <= int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N",
+                                            _HOST_TIER_MAX_N))):
+        host_matvec = _host_matvec(A, np.dtype(wdtype))
+    host_tier = host_matvec is not None
+
     selective = ortho == "selective"
     if selective:
         ortho = make_lanczos_selective_ortho(0)  # first expansion: no lock
@@ -364,8 +383,12 @@ def partial_eigh(
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
-    V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
-    H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
+    if host_tier:
+        V = np.zeros((max_dim + b, n_solve), dtype=wdtype)
+        H = np.zeros((max_dim + b, max_dim), dtype=wdtype)
+    else:
+        V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
+        H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
 
     if mesh is not None:
         from ..parallel.sharded import shard_operator, shard_workspace
@@ -382,7 +405,10 @@ def partial_eigh(
         v0 = v0 / jnp.linalg.norm(v0)
     if n_solve != n:
         v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
-    V = V.at[0, :].set(v0)
+    if host_tier:
+        V[0, :] = np.asarray(v0)
+    else:
+        V = V.at[0, :].set(v0)
     if b > 1:
         # Fill the rest of the start block with random vectors and
         # orthonormalize the block (CholQR keeps row 0 parallel to v0).
@@ -411,7 +437,7 @@ def partial_eigh(
     use_device_loop = (
         device_loop if device_loop is not None
         else (mesh is None and not selective and which in SYM_SORTS
-              and isinstance(ortho, str))
+              and isinstance(ortho, str) and not host_tier)
     )
     if use_device_loop:
         v0_block = V[:b, :]
@@ -444,6 +470,9 @@ def partial_eigh(
         V, H, jb = _block_expand_jit(op, V, H, tol, start_block=0,
                                      n_blocks=max_dim // b, b=b)
         m = int(jb) * b
+    elif host_tier:
+        V, H, m = host_arnoldi_expand(host_matvec, V, H, tol, start_dim=0,
+                                      max_dim=max_dim, ortho=ortho)
     else:
         V, H, n_iter = arnoldi_expand(op, V, H, tol, start_dim=0,
                                       max_dim=max_dim, ortho=ortho)
@@ -480,8 +509,11 @@ def partial_eigh(
             pa = min(-(-pa // b) * b, m)
         Sp = S[:, :pa]
 
-        V = _truncate_basis(V, jnp.asarray(Sp, dtype=wdtype), p=pa, m=m,
-                            carry=b)
+        if host_tier:
+            V = _host_truncate(V, Sp.astype(wdtype), p=pa, m=m, carry=b)
+        else:
+            V = _truncate_basis(V, jnp.asarray(Sp, dtype=wdtype), p=pa, m=m,
+                                carry=b)
 
         H_new = np.zeros_like(H_host)
         H_new[np.arange(pa), np.arange(pa)] = theta[:pa]
@@ -518,15 +550,23 @@ def partial_eigh(
             theta_final = theta
             break
 
-        H = jnp.asarray(H_new.astype(wdtype))
-        if repl is not None:
-            H = jax.device_put(H, repl)
+        if host_tier:
+            H = H_new.astype(wdtype)
+        else:
+            H = jnp.asarray(H_new.astype(wdtype))
+            if repl is not None:
+                H = jax.device_put(H, repl)
         if b > 1:
             from .decomposition import _block_expand_jit
 
             V, H, jb = _block_expand_jit(op, V, H, tol, start_block=pa // b,
                                          n_blocks=max_dim // b, b=b)
             m_new = int(jb) * b
+        elif host_tier:
+            V, H, n_iter = host_arnoldi_expand(host_matvec, V, H, tol,
+                                               start_dim=pa, max_dim=max_dim,
+                                               ortho=ortho)
+            m_new = int(n_iter)
         else:
             if selective:
                 # After a thick restart the leading pa+1 rows are the
@@ -546,5 +586,7 @@ def partial_eigh(
     if do_refine and tol_target < tol:
         return _refine_result(V[:nev], history)
     eigenvalues = np.real(theta_final[:nev])
+    if host_tier:
+        V = jnp.asarray(V)
     eigenvectors = V[:nev, :n].T
     return eigenvalues, eigenvectors, history
