@@ -290,11 +290,16 @@ def partial_schur(
 
     host_matvec = None
     from .decomposition import HOST_ORTHO, host_arnoldi_expand
+    # On a CPU backend the tier applies at ANY size: the XLA-CPU device
+    # path loses to NumPy/BLAS across the board (measured 14.6x at
+    # n=250k — complex work dtype, masked static-shape matmuls, dispatch
+    # overhead).  On an accelerator backend only small problems route
+    # here; large ones belong on the chip.
+    _cap = int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N", _HOST_TIER_MAX_N))
     if (mesh is None and b == 1 and not do_refine
             and np.dtype(wdtype) in (np.float64, np.complex128)
             and ortho in HOST_ORTHO
-            and n <= int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N",
-                                            _HOST_TIER_MAX_N))):
+            and (n <= _cap or jax.default_backend() == "cpu")):
         host_matvec = _host_matvec(A, np.dtype(wdtype))
     host_tier = host_matvec is not None
     if (host_tier and dtype is None

@@ -359,11 +359,13 @@ def partial_eigh(
     from .krylov_schur import _HOST_TIER_MAX_N, _host_matvec, _host_truncate
 
     host_matvec = None
+    # CPU backend: any size (see krylov_schur — NumPy/BLAS beats the
+    # XLA-CPU device path across the board); accelerator: small n only.
+    _cap = int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N", _HOST_TIER_MAX_N))
     if (mesh is None and b == 1 and not do_refine and device_loop is not True
             and np.dtype(wdtype) in (np.float64, np.complex128)
             and isinstance(ortho, str) and ortho in HOST_ORTHO
-            and n <= int(_os_ht.environ.get("ARNOLDI_HOST_TIER_N",
-                                            _HOST_TIER_MAX_N))):
+            and (n <= _cap or jax.default_backend() == "cpu")):
         host_matvec = _host_matvec(A, np.dtype(wdtype))
     host_tier = host_matvec is not None
 

@@ -222,7 +222,11 @@ def main_solve(m_grid=300):
 
     op = cast_operator_f32(as_operator(Af)) if on_tpu else as_operator(Af)
     op_lo = build_cast_residual_operator(Af, op) if on_tpu else None
-    kwargs = dict(max_dim=max_dim, p=max_dim // 4, stopping_criterion=tol,
+    # p=None: the adaptive retention ladder (coarse quanta on device, so
+    # the warm call compiles every shape the timed call can hit).  The old
+    # fixed p=max_dim//4 cost 187 restarts / 2178 matvecs on mark(300) LR
+    # where the adaptive rule needs a fraction of that.
+    kwargs = dict(max_dim=max_dim, stopping_criterion=tol,
                   sort_function=arg_largest_real, max_restarts=5000,
                   dtype=dtype, ortho="cgs2", key=jax.random.key(0),
                   refine_op_lo=op_lo)
