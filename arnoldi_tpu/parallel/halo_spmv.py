@@ -457,34 +457,93 @@ def bsr_matvec_halo_dw(op, xh, xl, mesh, axis_name="rows",
     return mv(*args)
 
 
-def halo_matvec_closure(op, mesh, axis_name="rows", op_lo=None):
-    """Wrap the format-appropriate halo matvec as an operator-compatible
-    closure (for use as a ``CallableOperator`` inside the sharded
-    solvers).  Dispatches on operator type; raises for formats without a
-    halo path (fall back to the GSPMD gather there).
+from ..linop import CallableOperator as _CallableOperator
 
-    The closure also carries the DOUBLE-WORD halo matvec (``fn_dw``), so
-    ``partial_schur(..., refine=...)`` can run the 1e-8 dw continuation
-    over the same ring comms.  Pass ``op_lo`` (the sharded cast-residual
+
+@jax.tree_util.register_pytree_node_class
+class HaloOperator(_CallableOperator):
+    """Operator wrapper for the ring-halo distributed matvec.
+
+    A PYTREE whose children are the underlying format operator (and the
+    optional cast-residual companion): the sharded band/block arrays enter
+    every jit as ARGUMENTS.  The previous CallableOperator closure held
+    them as trace-time constants, which works single-process but is
+    rejected on a multi-process mesh ("closing over jax.Array that spans
+    non-addressable devices") — caught by tests/test_multihost_spawn.py,
+    and exactly what a real pod would hit.
+
+    ``matvec_dw`` carries the DOUBLE-WORD halo matvec, so
+    ``partial_schur(..., refine=...)`` runs the 1e-8 dw continuation over
+    the same ring comms; pass ``op_lo`` (the sharded cast-residual
     operator, same format/layout) to make the refinement target the
-    original f64 matrix rather than its f32 cast."""
-    from ..linop import BsrOperator, CallableOperator, EllOperator
+    original f64 matrix rather than its f32 cast.
+    """
+
+    def __init__(self, op, mesh, axis_name, op_lo, halo, shape, dtype, nnz):
+        self.op = op
+        self.op_lo = op_lo
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self._halo = halo
+        # CallableOperator surface (isinstance passthrough in as_operator,
+        # the solvers' fn/fn_dw checks) with bound-method callables.
+        super().__init__(self.matvec, shape, dtype, nnz=nnz,
+                         fn_dw=self.matvec_dw)
+
+    def matvec(self, x):
+        from ..linop import BsrOperator, EllOperator
+
+        if isinstance(self.op, BandedOperator):
+            return banded_matvec_halo(self.op, x, self.mesh, self.axis_name)
+        if isinstance(self.op, EllOperator):
+            return ell_matvec_halo(self.op, x, self.mesh, self.axis_name,
+                                   self._halo)
+        assert isinstance(self.op, BsrOperator)
+        return bsr_matvec_halo(self.op, x, self.mesh, self.axis_name,
+                               self._halo)
+
+    def matvec_dw(self, xh, xl):
+        from ..linop import BsrOperator, EllOperator
+
+        if isinstance(self.op, BandedOperator):
+            return banded_matvec_halo_dw(self.op, xh, xl, self.mesh,
+                                         self.axis_name, op_lo=self.op_lo)
+        if isinstance(self.op, EllOperator):
+            return ell_matvec_halo_dw(self.op, xh, xl, self.mesh,
+                                      self.axis_name, self._halo,
+                                      op_lo=self.op_lo)
+        assert isinstance(self.op, BsrOperator)
+        return bsr_matvec_halo_dw(self.op, xh, xl, self.mesh,
+                                  self.axis_name, self._halo,
+                                  op_lo=self.op_lo)
+
+    def matmat(self, X):
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    def tree_flatten(self):
+        return (self.op, self.op_lo), (self.mesh, self.axis_name,
+                                       self._halo, self._shape, self._dtype,
+                                       self._nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], children[1], aux[2],
+                   aux[3], aux[4], aux[5])
+
+
+def halo_matvec_closure(op, mesh, axis_name="rows", op_lo=None):
+    """Build the :class:`HaloOperator` for ``op`` (name kept from the
+    closure-based original).  Dispatches on operator type; raises for
+    formats without a halo path (fall back to the GSPMD gather there)."""
+    from ..linop import BsrOperator, EllOperator
 
     if isinstance(op, BandedOperator):
-        fn = lambda x: banded_matvec_halo(op, x, mesh, axis_name)  # noqa: E731
-        fn_dw = lambda xh, xl: banded_matvec_halo_dw(  # noqa: E731
-            op, xh, xl, mesh, axis_name, op_lo=op_lo)
-    elif isinstance(op, EllOperator):
-        halo = sparsity_bandwidth(op)
-        fn = lambda x: ell_matvec_halo(op, x, mesh, axis_name, halo)  # noqa: E731
-        fn_dw = lambda xh, xl: ell_matvec_halo_dw(  # noqa: E731
-            op, xh, xl, mesh, axis_name, halo, op_lo=op_lo)
-    elif isinstance(op, BsrOperator):
-        hb = sparsity_bandwidth(op)
-        fn = lambda x: bsr_matvec_halo(op, x, mesh, axis_name, hb)  # noqa: E731
-        fn_dw = lambda xh, xl: bsr_matvec_halo_dw(  # noqa: E731
-            op, xh, xl, mesh, axis_name, hb, op_lo=op_lo)
+        halo = None          # derived from op.offsets inside the kernels
+    elif isinstance(op, (EllOperator, BsrOperator)):
+        halo = sparsity_bandwidth(op)   # host index scan: done ONCE here,
+        # never during tree_unflatten (children may be tracers there)
     else:
         raise TypeError(
             f"no halo path for {type(op).__name__}; use the GSPMD gather")
-    return CallableOperator(fn, op.shape, op.dtype, nnz=op.nnz, fn_dw=fn_dw)
+    return HaloOperator(op, mesh, axis_name, op_lo, halo, op.shape,
+                        op.dtype, op.nnz)

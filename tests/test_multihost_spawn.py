@@ -27,7 +27,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _spawn(nproc, n_local_dev, timeout=240):
+def _spawn(nproc, n_local_dev, timeout=540):
+    # Generous timeout: under a parallel (-n 8) pytest run this test's
+    # spawned JAX processes share the box with every other worker; the
+    # 4-process leg measured ~60 s solo and ~5x that under full load.
     import tempfile
 
     port = _free_port()
