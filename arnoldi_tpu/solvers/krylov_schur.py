@@ -147,6 +147,7 @@ def partial_schur(
     block_size=1,
     refine="auto",
     refine_op_lo=None,
+    lock="soft",
 ):
     """Compute a partial Schur decomposition ``A Q ~= Q T`` with the
     Krylov-Schur algorithm.
@@ -188,6 +189,17 @@ def partial_schur(
         to b vectors per step (matmat) with two block-gemm projections +
         CholQR2 intra-block orthogonalization. Finds eigenvalues of
         multiplicity up to b and amortizes basis passes across b matvecs.
+    lock : "soft" (default) or "hard".  Soft locking zeroes the coupling
+        of converged leading pairs (they decouple permanently, at backward
+        error within tol*|lambda|) but keeps them in the global sort-and-
+        rotate — the safe policy when the sort has ties (e.g. LM over a
+        +/-pair spectrum), where freezing too early can lock a wrong
+        subset.  Hard locking additionally FREEZES the converged prefix:
+        the ordered Schur, truncation rotation and coupling row act only
+        on the active window, and the converged block is re-sorted
+        globally once at exit.  Saves the O(k * m * n) re-rotation work
+        per restart; use when the wanted eigenvalues are well separated
+        under the sort key.
     refine_op_lo : optional prebuilt cast-residual operator
         (``solvers.refine.build_cast_residual_operator``) so repeated
         solves skip the O(nnz) host construction + device upload.
@@ -465,6 +477,9 @@ def partial_schur(
     # adjustment) — without it, converged pairs are re-rotated and
     # re-tested every restart and convergence of the remaining pairs pays
     # full price each time.
+    if lock not in ("soft", "hard"):
+        raise ValueError(f"lock={lock!r}: expected 'soft' or 'hard'")
+    hard_lock = lock == "hard" and b == 1
     k_lock = int(k_lock0)
     adaptive = p is None and b == 1
     T_out = None
@@ -729,6 +744,8 @@ def partial_schur(
         H_new[pa : pa + b, :k_new] = 0.0
         H_trunc_hp = H_new[: pa + b, :pa].copy()
         prev_pa = pa
+        if hard_lock:
+            k_lock = k_new
 
         if host_tier:
             H = H_new.astype(wdtype)

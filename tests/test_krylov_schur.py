@@ -153,3 +153,38 @@ class TestPartialSchur:
         vals = np.sort(np.real(np.diag(np.asarray(T))))[::-1]
         want = np.sort(laplace_eigen(200))[::-1][:4]
         np.testing.assert_allclose(vals, want, rtol=1e-6, atol=1e-7)
+
+
+class TestHardLocking:
+    def test_hard_matches_soft_on_separated_spectrum(self):
+        """lock='hard' freezes converged pairs out of the rotation; on a
+        well-separated-modulus spectrum it must agree with soft locking
+        and return a globally sorted T (the exit reorder)."""
+        import scipy.sparse as sp
+
+        from arnoldi_tpu.utils.sorting import sort_function_for
+
+        n = 3000
+        d = np.linspace(0.1, 1.0, n) ** 2
+        off = 0.01 * np.ones(n - 1)
+        A = sp.diags_array([off, d, -off], offsets=[-1, 0, 1]).tocsr()
+        out = {}
+        for lock in ("soft", "hard"):
+            Q, T, h = partial_schur(
+                A, 12, max_dim=40, stopping_criterion=1e-9,
+                sort_function=sort_function_for("LM"), max_restarts=5000,
+                key=jax.random.key(0), lock=lock)
+            vals, vecs = eigenpairs_from_partial_schur(Q, T)
+            vecs = np.asarray(vecs)
+            res = np.linalg.norm(A @ vecs - vals * vecs, axis=0) / np.abs(vals)
+            assert res.max() < 1e-8, (lock, res.max())
+            assert np.all(np.diff(np.abs(vals)) <= 1e-12), (
+                f"{lock}: output not sorted by |lambda|")
+            out[lock] = np.sort_complex(vals)
+        np.testing.assert_allclose(out["hard"], out["soft"], rtol=1e-8,
+                                   atol=1e-10)
+
+    def test_lock_validation(self):
+        A = mark(10)
+        with pytest.raises(ValueError, match="lock="):
+            partial_schur(A, 2, lock="extra-firm")
