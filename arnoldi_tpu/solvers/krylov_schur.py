@@ -555,14 +555,19 @@ def partial_schur(
         denom = np.where(denom == 0, 1.0, denom)
         approximate_convergence = approximate_residuals / denom
 
-        # Newly converged LEADING prefix of the active window (a 2x2 pair's
-        # two positions share one residual, so the prefix cannot split a
-        # block; the guard below is belt-and-braces for rounding asymmetry).
+        # Newly converged LEADING prefix of the active window.  A 2x2
+        # pair's two positions share one residual (the hypot fix above),
+        # so the scan cannot stop BETWEEN them: if it stops at the second
+        # position, the first had the same value and would have stopped
+        # the scan already.  The only index where in_block[nc] holds is
+        # nc == ma (everything converged, trailing pair) — which needs no
+        # adjustment; decrementing there would un-converge a converged
+        # pair and stall a breakdown at m == nev forever.
         nc = 0
         while nc < ma and approximate_convergence[nc] <= tol:
             nc += 1
-        if in_block[nc]:
-            nc -= 1
+        assert nc == ma or not in_block[nc], (
+            "prefix scan split a conjugate pair: unequal pair residuals")
         k_new = ka + nc
 
         for k in range(ka, min(k_new, nev)):
