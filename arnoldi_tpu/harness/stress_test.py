@@ -23,7 +23,7 @@ from .suite import (
     arnoldi_tpu_eig,
     arpack_eig,
     deflation_eig,
-    find_best_matching,
+    eigenvalues_match,
     matrix_from_spec,
 )
 
@@ -51,12 +51,45 @@ def run_one(method, A, params, key):
     import jax
 
     if method == "arpack":
-        return arpack_eig(A, params)
+        # Same start vector as our driver: ARPACK's internal Fortran RNG
+        # state persists across calls, and on matrices with tied-|lambda|
+        # clusters (mark has +/- pairs) the converged cluster MEMBER
+        # depends on the start vector.  Seeding both solvers from the
+        # identical v0 makes rows independent of grid order/warmup AND
+        # makes the match column compare like against like.
+        from ..utils.random import rand_normalized_vector
+
+        v0 = np.asarray(
+            rand_normalized_vector(jax.random.key(key), A.shape[0],
+                                   np.float64))
+        return arpack_eig(A, params, v0=v0)
     if method == "krylov-schur":
         return arnoldi_tpu_eig(A, params, key=jax.random.key(key))
     if method == "deflation":
         return deflation_eig(A, params, key=jax.random.key(key))
     raise ValueError(method)
+
+
+def warmup(methods, A, seed):
+    """One tiny-budget solve per method ON THE SWEEP MATRIX before timing.
+
+    The first solve in a process pays one-time library costs — the eager
+    ``jax.random`` threefry kernels compile PER SHAPE (~0.4 s at n=5050),
+    the native dense tier dlopens, BLAS spins up its thread pool — that
+    are benchmarking artifacts, not solver cost (measured ~0.43 s folded
+    into the first grid row at mark(100), where the warm solve is
+    ~0.07 s).  ARPACK pays no analogous cost (scipy is already imported
+    by the harness), so warming keeps the elapsed columns
+    apples-to-apples.  The warmup must use the sweep matrix itself: the
+    RNG compile cache is keyed on the vector shape.
+    """
+    params = EigensolverParameters(nev=1, ncv=8, tol=1e-2,
+                                   max_restarts=2, p=None, which="LM")
+    for method in methods:
+        try:
+            run_one(method, A, params, seed)
+        except Exception:
+            pass  # a failing/non-converging warmup must not kill the sweep
 
 
 def main(argv=None):
@@ -65,6 +98,9 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="stress-test.csv")
     ap.add_argument("--quick", action="store_true",
                     help="4-config grid for smoke testing")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the untimed per-method warmup solve (one-time "
+                    "jax/native/BLAS init then lands in the first grid row)")
     ap.add_argument("--methods", default="krylov-schur,arpack",
                     help="comma list of krylov-schur,arpack,deflation")
     ap.add_argument("--seed", type=int, default=0)
@@ -88,6 +124,9 @@ def main(argv=None):
     grid = QUICK_PARAMETERS if args.quick else PARAMETERS
     methods = args.methods.split(",")
 
+    if not args.no_warmup:
+        warmup(methods, A, args.seed)
+
     rows = []
     for params in grid:
         if params.ncv >= n or params.nev >= n // 2:
@@ -104,8 +143,11 @@ def main(argv=None):
                 elif ref_vals is None:
                     match = None   # reference method failed for this config
                 else:
-                    a, b = find_best_matching(np.asarray(vals), ref_vals)
-                    match = bool(np.allclose(a, b, rtol=1e-4, atol=1e-8))
+                    # Boundary-tie-aware gate: on tied-|lambda| clusters
+                    # (mark is symmetric +/-) the cut member is ambiguous
+                    # and both solvers are correct — see eigenvalues_match.
+                    match = bool(eigenvalues_match(
+                        np.asarray(vals), ref_vals, params.which))
                 rows.append([
                     method, stats.dtype, params.nev, params.ncv, params.tol,
                     params.max_restarts, params.p, params.which,

@@ -74,6 +74,52 @@ def find_best_matching(a, b):
     return a[row_ind[:k]], b[col_ind[:k]]
 
 
+#: Sort keys per ARPACK 'which' string, oriented so WANTED values have the
+#: LARGEST key (the least-wanted returned value sits at the key minimum).
+_WHICH_KEYS = {
+    "LM": lambda x: np.abs(x), "SM": lambda x: -np.abs(x),
+    "LR": lambda x: np.real(x), "SR": lambda x: -np.real(x),
+    "LI": lambda x: np.imag(x), "SI": lambda x: -np.imag(x),
+}
+
+
+def eigenvalues_match(a, b, which="LM", rtol=1e-4, atol=1e-8):
+    """Hungarian-matched eigenvalue agreement, tolerant of BOUNDARY TIES.
+
+    On spectra with exactly tied sort keys (mark's spectrum is symmetric
+    +/-lambda, so every |lambda| is shared by two eigenvalues), a request
+    that cuts through a tied cluster is ambiguous: with nev=5 on mark, the
+    5th slot can correctly hold either of +/-0.99771.  Two correct solvers
+    can therefore return sets that differ in one element, and a plain
+    ``allclose`` of the matched pairs reports a false disagreement (the
+    reference works around the same effect with @flaky test markers).
+
+    A mismatched pair is accepted iff (1) the two values have the same
+    sort key to ``rtol`` (they are members of one tied cluster) and
+    (2) that key lies at the selection boundary — the least-wanted key of
+    the returned sets.  Interior clusters must still match exactly: both
+    solvers return all their members, so the Hungarian assignment pairs
+    them value-for-value.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    a_m, b_m = find_best_matching(a, b)
+    close = np.isclose(a_m, b_m, rtol=rtol, atol=atol)
+    if close.all():
+        return True
+    key = _WHICH_KEYS[which] if isinstance(which, str) else which
+    ka, kb = key(a_m), key(b_m)
+    boundary = min(key(a).min(), key(b).min())
+    for i in np.nonzero(~close)[0]:
+        scale = max(abs(ka[i]), abs(kb[i]), abs(boundary))
+        tied = abs(ka[i] - kb[i]) <= rtol * scale + atol
+        at_boundary = (abs(ka[i] - boundary) <= rtol * scale + atol
+                       or abs(kb[i] - boundary) <= rtol * scale + atol)
+        if not (tied and at_boundary):
+            return False
+    return True
+
+
 def print_residuals(name, A, vals, vecs, file=None):
     """Normalized residual report (reference ``scripts/utils.py:125-133``)."""
     vecs = np.asarray(vecs)
@@ -82,15 +128,23 @@ def print_residuals(name, A, vals, vecs, file=None):
     return res
 
 
-def arpack_eig(A, params: EigensolverParameters):
+def arpack_eig(A, params: EigensolverParameters, v0=None):
     """ARPACK oracle with matvec counting
-    (reference ``scripts/utils.py:136-158``)."""
+    (reference ``scripts/utils.py:136-158``).
+
+    ``v0``: explicit start vector.  Without it ARPACK draws from its own
+    internal Fortran RNG whose state PERSISTS across calls in a process,
+    so on matrices with tied-|lambda| clusters (mark has +/- pairs) the
+    same call can converge to different cluster members depending on how
+    many ARPACK solves ran before it.  Sweeps that want order-independent
+    rows pass a seeded ``v0``.
+    """
     counter = MatvecCounter(A)
     ncv = params.ncv
     t0 = time.perf_counter()
     vals, vecs = eigs(
         counter, params.nev, which=params.which, tol=params.tol,
-        ncv=ncv, maxiter=params.max_restarts,
+        ncv=ncv, maxiter=params.max_restarts, v0=v0,
     )
     elapsed = time.perf_counter() - t0
     nev, ncv_eff = params.nev, ncv or min(A.shape[0], max(2 * params.nev + 1, 20))

@@ -55,6 +55,32 @@ def test_drivers_agree():
     assert stats.matvecs < 3 * r_stats.matvecs
 
 
+def test_eigenvalues_match_boundary_ties():
+    from arnoldi_tpu.harness.suite import eigenvalues_match
+
+    # Exact agreement passes.
+    a = np.array([1.0, -1.0, 0.9977, 0.99, 0.98])
+    assert eigenvalues_match(a, a.copy(), "LM")
+    # LM boundary tie: 5th slot holds either member of the +/-0.9771
+    # cluster — both answers correct (mark's symmetric spectrum).
+    b = a.copy()
+    b[2] = -0.9977           # other member of the tied boundary cluster?
+    # ...not at the boundary (0.98 is the boundary key) -> must REJECT
+    assert not eigenvalues_match(a, b, "LM")
+    b = a.copy()
+    b[4] = -0.98             # tie at the boundary key -> accept
+    assert eigenvalues_match(a, b, "LM")
+    # A genuinely different boundary value is still a mismatch.
+    b = a.copy()
+    b[4] = 0.90
+    assert not eigenvalues_match(a, b, "LM")
+    # Complex conjugate boundary tie under LR.
+    a = np.array([2.0 + 0j, 1.0 + 1j])
+    b = np.array([2.0 + 0j, 1.0 - 1j])
+    assert eigenvalues_match(a, b, "LR")
+    assert not eigenvalues_match(a, b, "LI")
+
+
 def test_compare_arpack_cli(capsys):
     from arnoldi_tpu.harness import compare_arpack
 
