@@ -864,7 +864,12 @@ def partial_schur(
 
     history.phases = clock.report()
     if host_tier:
-        V = jnp.asarray(V)
+        # Stay in NumPy: converting the workspace to a jax array here costs
+        # an eager dynamic_slice + transpose XLA compile PER (nev, ncv)
+        # shape (~100 ms — more than the whole mark(100) solve).
+        schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
+        schur_mat = T_out[:nev_ret, :nev_ret].astype(wdtype)
+        return schur_vecs, schur_mat, history
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
     schur_mat = jnp.asarray(T_out[:nev_ret, :nev_ret].astype(wdtype))
 

@@ -588,7 +588,7 @@ def partial_eigh(
     if do_refine and tol_target < tol:
         return _refine_result(V[:nev], history)
     eigenvalues = np.real(theta_final[:nev])
-    if host_tier:
-        V = jnp.asarray(V)
+    # Host tier: stay in NumPy — converting the workspace to a jax array
+    # costs an eager slice+transpose XLA compile per (nev, ncv) shape.
     eigenvectors = V[:nev, :n].T
     return eigenvalues, eigenvectors, history
