@@ -18,6 +18,7 @@ from .suite import (
     EigensolverParameters,
     arnoldi_tpu_eig,
     arpack_eig,
+    eigenvalues_match,
     find_best_matching,
     matrix_from_spec,
     print_residuals,
@@ -57,7 +58,14 @@ def main(argv=None):
 
     print(f"matrix {args.matrix}: n={A.shape[0]}, nnz={A.nnz}")
 
-    r_vals, r_vecs, r_stats = arpack_eig(A, params)
+    # Same start vector for both solvers: ARPACK's internal RNG state
+    # persists across calls, and on tied-|lambda| clusters the converged
+    # cluster member depends on the start (see suite.eigenvalues_match).
+    from ..utils.random import rand_normalized_vector
+
+    v0 = np.asarray(rand_normalized_vector(jax.random.key(args.seed),
+                                           A.shape[0], np.float64))
+    r_vals, r_vecs, r_stats = arpack_eig(A, params, v0=v0)
     print(f"ARPACK: {r_stats.elapsed:.3f}s, {r_stats.matvecs} matvecs, "
           f"~{r_stats.restarts} iterations")
 
@@ -77,9 +85,18 @@ def main(argv=None):
     print_residuals("arnoldi-tpu", A, vals, vecs)
 
     a, b = find_best_matching(np.asarray(vals), r_vals)
-    np.testing.assert_allclose(a, b, rtol=max(args.tol, 1e-12) * 100,
-                               atol=args.tol * 10)
-    print("eigenvalues MATCH")
+    try:
+        np.testing.assert_allclose(a, b, rtol=max(args.tol, 1e-12) * 100,
+                                   atol=args.tol * 10)
+        print("eigenvalues MATCH")
+    except AssertionError:
+        # Tied-|lambda| boundary clusters make the cut member ambiguous;
+        # both solvers are correct if they differ only there.
+        if not eigenvalues_match(np.asarray(vals), r_vals, args.which,
+                                 rtol=max(args.tol, 1e-12) * 100,
+                                 atol=args.tol * 10):
+            raise
+        print("eigenvalues MATCH (modulo a tied boundary cluster)")
     return 0
 
 
