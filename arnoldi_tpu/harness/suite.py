@@ -110,12 +110,22 @@ def eigenvalues_match(a, b, which="LM", rtol=1e-4, atol=1e-8):
     key = _WHICH_KEYS[which] if isinstance(which, str) else which
     ka, kb = key(a_m), key(b_m)
     boundary = min(key(a).min(), key(b).min())
+    matched_a = a_m[close]
+    matched_b = b_m[close]
     for i in np.nonzero(~close)[0]:
         scale = max(abs(ka[i]), abs(kb[i]), abs(boundary))
         tied = abs(ka[i] - kb[i]) <= rtol * scale + atol
         at_boundary = (abs(ka[i] - boundary) <= rtol * scale + atol
                        or abs(kb[i] - boundary) <= rtol * scale + atol)
         if not (tied and at_boundary):
+            return False
+        # A mismatched value that DUPLICATES one of its own side's matched
+        # values is not a tie pick — it is the signature of a ghost/defect
+        # copy of an already-found eigenvalue crowding out the other
+        # cluster member.  Reject so the gate still catches it.
+        vscale = max(abs(a_m[i]), abs(b_m[i]), 1e-30)
+        if (np.any(np.abs(matched_a - a_m[i]) <= rtol * vscale + atol)
+                or np.any(np.abs(matched_b - b_m[i]) <= rtol * vscale + atol)):
             return False
     return True
 

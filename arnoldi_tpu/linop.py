@@ -549,7 +549,13 @@ def as_operator(A, dtype=None, format=None, backend=None):
         # LinearOperators.  The matvec is host code, reached through
         # pure_callback so the jitted expansion can call it — CPU-only
         # (the axon TPU runtime has no host callbacks; same caveat as the
-        # splu inner solver).
+        # splu inner solver).  Fail HERE with a clear message rather than
+        # deep inside a compiled dispatch.
+        if jax.default_backend() == "tpu":
+            raise TypeError(
+                "scipy LinearOperator matvecs run through a host callback, "
+                "which the TPU runtime does not support; materialize the "
+                "operator (CSR/dense) or run on the CPU backend")
         n_out, n_in = A.shape
         op_dtype = jax.dtypes.canonicalize_dtype(
             np.dtype(dtype) if dtype is not None

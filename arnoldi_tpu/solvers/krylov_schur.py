@@ -312,17 +312,27 @@ def partial_schur(
             and np.dtype(wdtype) in (np.float64, np.complex128)
             and ortho in HOST_ORTHO
             and (n <= _cap or jax.default_backend() == "cpu")):
+        # Decide the real-path downgrade BEFORE materializing the host
+        # operator: building the complex128 copy first and throwing it
+        # away would allocate a second full CSR (hundreds of MB at the
+        # CPU-backend any-size tier).  Only host-materializable operators
+        # qualify — a callable A never enters the tier and must keep the
+        # device-path dtype.
+        import scipy.sparse as _sp
+
+        materializable = (_sp.issparse(A)
+                          or (isinstance(A, np.ndarray) and A.ndim == 2))
+        if (materializable and dtype is None
+                and np.issubdtype(np.dtype(op.dtype), np.floating)
+                and (v0 is None or not np.iscomplexobj(v0))):
+            # A real operator on the host tier runs the REAL-arithmetic
+            # path (real Schur form, 2x2 blocks — the same machinery as
+            # the TPU fast path): complex128-over-real-values is 4x the
+            # flops and 2x the traffic for nothing.  ARPACK's dnaupd
+            # makes the same call.
+            wdtype = jax.dtypes.canonicalize_dtype(np.float64)
         host_matvec = _host_matvec(A, np.dtype(wdtype))
     host_tier = host_matvec is not None
-    if (host_tier and dtype is None
-            and np.issubdtype(np.dtype(op.dtype), np.floating)
-            and (v0 is None or not np.iscomplexobj(v0))):
-        # A real operator on the host tier runs the REAL-arithmetic path
-        # (real Schur form, 2x2 blocks — the same machinery as the TPU
-        # fast path): complex128-over-real-values is 4x the flops and 2x
-        # the traffic for nothing.  ARPACK's dnaupd makes the same call.
-        wdtype = jax.dtypes.canonicalize_dtype(np.float64)
-        host_matvec = _host_matvec(A, np.dtype(wdtype))
 
     # Mesh execution pads the row dimension so every shard is the same size
     # (padding rows/columns are exactly zero and never enter the Krylov
@@ -419,20 +429,30 @@ def partial_schur(
         assert ck.H_hp.shape == (max_dim + b, max_dim), (
             f"checkpoint H shape {ck.H_hp.shape} does not match workspace "
             f"{(max_dim + b, max_dim)}")
-        assert ck.V.shape == (head, n_solve), (ck.V.shape, (head, n_solve))
+        # Current checkpoints snapshot the HEAD rows only; older ones (or a
+        # full-workspace writer) stored all max_dim+b rows — accept both by
+        # slicing, since the head rows ARE the restart-boundary state.
+        assert (ck.V.shape[0] >= head and ck.V.shape[1] == n_solve), (
+            f"checkpoint V shape {ck.V.shape} incompatible with head rows "
+            f"{(head, n_solve)}")
+        ck_V = ck.V[:head]
         if host_tier:
-            V[:head] = np.asarray(ck.V, dtype=wdtype)
+            V[:head] = np.asarray(ck_V, dtype=wdtype)
             H = ck.H_hp.astype(wdtype)
         else:
-            Vh_dev = (ck.V.astype(wdtype) if isinstance(ck.V, jax.Array)
-                      else jnp.asarray(np.asarray(ck.V).astype(wdtype)))
+            Vh_dev = (ck_V.astype(wdtype) if isinstance(ck_V, jax.Array)
+                      else jnp.asarray(np.asarray(ck_V).astype(wdtype)))
             V = V.at[:head, :].set(Vh_dev)
             H = jnp.asarray(ck.H_hp.astype(wdtype))
             if repl is not None:
                 H = jax.device_put(H, repl)
         H_trunc_hp = ck.H_hp[: ck.pa + b, : ck.pa].copy()
         prev_pa = ck.pa
-        k_lock0 = ck.k_lock
+        # A frozen prefix is a hard-lock concept: resuming a hard-lock
+        # checkpoint under the (default) soft policy must NOT keep the
+        # prefix frozen — soft locking keeps converged pairs in the global
+        # sort precisely because freezing can lock a wrong tied subset.
+        k_lock0 = ck.k_lock if (lock == "hard" and b == 1) else 0
         history.matvecs[:] = ck.matvecs
         history.restarts[:] = ck.restarts
         history.residual_trace = list(ck.residual_trace)
@@ -866,8 +886,10 @@ def partial_schur(
     if host_tier:
         # Stay in NumPy: converting the workspace to a jax array here costs
         # an eager dynamic_slice + transpose XLA compile PER (nev, ncv)
-        # shape (~100 ms — more than the whole mark(100) solve).
-        schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract
+        # shape (~100 ms — more than the whole mark(100) solve).  Copy out
+        # of the workspace: a transposed view would pin the full
+        # (max_dim+b, n) allocation for the life of the result.
+        schur_vecs = np.ascontiguousarray(V[:nev_ret, :n].T)
         schur_mat = T_out[:nev_ret, :nev_ret].astype(wdtype)
         return schur_vecs, schur_mat, history
     schur_vecs = V[:nev_ret, :n].T   # back to the (n, nev) contract

@@ -590,5 +590,10 @@ def partial_eigh(
     eigenvalues = np.real(theta_final[:nev])
     # Host tier: stay in NumPy — converting the workspace to a jax array
     # costs an eager slice+transpose XLA compile per (nev, ncv) shape.
-    eigenvectors = V[:nev, :n].T
+    # Copy out of the workspace so the result does not pin the full
+    # (max_dim+b, n) allocation.
+    if host_tier:
+        eigenvectors = np.ascontiguousarray(V[:nev, :n].T)
+    else:
+        eigenvectors = V[:nev, :n].T
     return eigenvalues, eigenvectors, history

@@ -35,11 +35,16 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
     ``which='LM'`` selects the largest singular values, ``'SM'`` the
     smallest.  ``sigma`` (an extension over scipy's svds, which has no
     shift-invert surface at all — MATLAB-svds-style) selects the ``k``
-    singular values NEAREST ``sigma`` via shift-invert Lanczos on the Gram
-    operator at ``sigma**2``; the inner solve is an iterative Krylov solve
-    (``inner_solver``, default GMRES — the shifted Gram is indefinite),
-    so small-end spectra no longer need the slow direct ``which='SM'``
-    iteration.  ``v0`` is the scipy start vector of length
+    singular values NEAREST ``sigma``: shift-invert Lanczos on the Gram
+    operator at ``sigma**2`` converges a buffered set (k + max(2, k//2)
+    values, nearest in the SQUARED domain), from which the k nearest in
+    the linear domain are selected — the two orderings can disagree near
+    the cut because |s^2 - sigma^2| overweights values above sigma (an
+    adversarial spectrum could in principle need a larger buffer; pass a
+    larger ``k`` and slice if that matters).  The inner solve is an
+    iterative Krylov solve (``inner_solver``, default GMRES — the shifted
+    Gram is indefinite), so small-end spectra no longer need the slow
+    direct ``which='SM'`` iteration.  ``v0`` is the scipy start vector of length
     ``min(A.shape)`` (the Gram dimension).
     """
     if which not in ("LM", "SM"):
@@ -87,12 +92,28 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
         itol = inner_tol if inner_tol is not None else tol * 1e-2
         si = shift_invert_operator(gram, sig2, solver=inner_solver,
                                    inner_tol=itol, dtype=dtype)
+        # "Nearest sigma" is a LINEAR-domain metric, but shift-invert on
+        # the Gram operator converges by |sigma_i^2 - sigma^2| =
+        # |sigma_i - sigma| * (sigma_i + sigma), which overweights values
+        # ABOVE sigma; the two orderings can disagree near the cut.  Solve
+        # a buffered set in the Gram domain, then select the k nearest
+        # |sigma| linearly.
+        kk = k + max(2, k // 2)
+        if ncv is not None:
+            kk = min(kk, ncv - 1)
+        kk = max(k, min(kk, gram_dim - 1))
         nu, W, hist = partial_eigh(
-            si, k, which="LM", max_dim=ncv, stopping_criterion=tol,
+            si, kk, which="LM", max_dim=ncv, stopping_criterion=tol,
             max_restarts=maxiter, dtype=dtype, key=key, v0=v0,
             block_size=block_size,
         )
         theta = np.asarray(_transform_back(np.asarray(nu), sig2)).real
+        if kk > k:
+            sv_lin = np.sqrt(np.maximum(theta, 0.0))
+            pick = np.argsort(np.abs(sv_lin - abs(float(np.real(sigma)))),
+                              kind="stable")[:k]
+            theta = theta[pick]
+            W = np.asarray(W)[:, pick]
     else:
         theta, W, hist = partial_eigh(
             gram, k, which=eig_which, max_dim=ncv, stopping_criterion=tol,

@@ -123,15 +123,23 @@ def hot_loop(on_tpu, n_grid=724, max_dim=80, cycles=3, b=1, reps=3):
         _ = float(Vx[7, 999])
         return time.perf_counter() - t0
 
-    per_iter = np.inf
+    # Take min() over each window size SEPARATELY, then difference: a
+    # latency hiccup can land in a SHORT window, and min() over per-rep
+    # differences (t_hi - t_lo) would preferentially select that corrupted
+    # rep (inflated t_lo deflates the difference — the metric could even go
+    # negative).  min(t_hi) and min(t_lo) are each window's hiccup-free
+    # run, so their difference is a clean slope.
     k = 1000
+    t_los, t_his = [], []
     for r in range(reps):
-        t_lo = window(c_lo, k)
+        t_los.append(window(c_lo, k))
         k += c_lo
-        t_hi = window(c_hi, k)
+        t_his.append(window(c_hi, k))
         k += c_hi
-        per_iter = min(per_iter,
-                       (t_hi - t_lo) / ((c_hi - c_lo) * max_dim))
+    per_iter = (min(t_his) - min(t_los)) / ((c_hi - c_lo) * max_dim)
+    if per_iter <= 0:  # pathological timing noise: fall back to the median
+        diffs = sorted(h - l for h, l in zip(t_his, t_los))
+        per_iter = diffs[len(diffs) // 2] / ((c_hi - c_lo) * max_dim)
     return op, per_iter, {
         "n": n, "nnz": int(op.nnz), "max_dim": max_dim,
         "nnz_per_s": op.nnz / per_iter,

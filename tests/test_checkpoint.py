@@ -95,6 +95,60 @@ def test_block_driver_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
 
 
+def test_resume_accepts_full_workspace_checkpoint(tmp_path):
+    # Older checkpoints stored ALL max_dim+b workspace rows, not just the
+    # head rows; resume must slice rather than assert.
+    import dataclasses
+
+    from arnoldi_tpu.utils.checkpoint import RestartCheckpoint, save_checkpoint
+
+    A = mark(15)
+    n = A.shape[0]
+    max_dim = 12
+    kwargs = dict(
+        max_dim=max_dim, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5),
+    )
+    ckpt = str(tmp_path / "oldfmt.npz")
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=2, checkpoint_path=ckpt, **kwargs)
+    ck = load_checkpoint(ckpt)
+    head = np.asarray(ck.V)
+    V_full = np.zeros((max_dim + 1, n), dtype=head.dtype)
+    V_full[: head.shape[0]] = head
+    save_checkpoint(ckpt, dataclasses.replace(ck, V=V_full))
+
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+
+
+def test_resume_hard_lock_checkpoint_under_soft_unfreezes(tmp_path):
+    # A frozen prefix is a hard-lock concept: resuming under the default
+    # soft policy must reset k_lock so converged pairs rejoin the global
+    # sort (freezing can lock a wrong tied subset).
+    A = mark(15)
+    kwargs = dict(
+        max_dim=12, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5),
+    )
+    ckpt = str(tmp_path / "hard.npz")
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=4, checkpoint_path=ckpt,
+                      lock="hard", **kwargs)
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, lock="soft", **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+    Q2, T2, _ = partial_schur(A, 3, max_restarts=5000, **kwargs)
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T2)))
+    v2 = np.sort_complex(np.linalg.eigvals(Th))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+
+
 def test_resume_without_file_starts_fresh(tmp_path):
     A = mark(10)
     Q, T, _ = partial_schur(

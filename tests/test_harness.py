@@ -79,6 +79,11 @@ def test_eigenvalues_match_boundary_ties():
     b = np.array([2.0 + 0j, 1.0 - 1j])
     assert eigenvalues_match(a, b, "LR")
     assert not eigenvalues_match(a, b, "LI")
+    # Ghost duplicate: a repeats the +0.9977 member it already matched
+    # instead of finding -0.9977 — a wrong set, not a tie pick.
+    a = np.array([1.0, 0.9977, 0.9977])
+    b = np.array([1.0, 0.9977, -0.9977])
+    assert not eigenvalues_match(a, b, "LM")
 
 
 def test_compare_arpack_cli(capsys):

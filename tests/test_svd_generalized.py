@@ -479,6 +479,20 @@ class TestSpectralModes:
         np.testing.assert_allclose(A @ Vh.conj().T, U * s[None, :],
                                    atol=1e-7)
 
+    def test_svds_sigma_linear_vs_squared_domain(self):
+        # |s - sigma| and |s^2 - sigma^2| orderings disagree here: for
+        # sigma=1, 1.45 is linear-nearest (0.45 < 0.5) but 0.5 is
+        # squared-nearest (0.75 < 1.1025).  The buffered selection must
+        # return the LINEAR-nearest value.
+        sv = np.array([0.5, 1.45, 2.1, 3.0, 4.2, 5.5])
+        rng = np.random.default_rng(11)
+        U0, _ = np.linalg.qr(rng.standard_normal((10, 6)))
+        V0, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+        A = (U0 * sv[None, :]) @ V0.T
+        s = svds(A, 1, sigma=1.0, tol=1e-10, maxiter=3000,
+                 key=jax.random.key(0), return_singular_vectors=False)
+        np.testing.assert_allclose(np.asarray(s), [1.45], atol=1e-8)
+
     def test_svds_sigma_zero_is_smallest(self):
         rng = np.random.default_rng(6)
         A = rng.standard_normal((90, 60))
