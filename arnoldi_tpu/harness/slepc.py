@@ -103,3 +103,58 @@ def slepc_eig(A, params: EigensolverParameters, monitor=None):
         vecs[:, i] = vr.getArray() + 1j * vi.getArray()
     stats = Statistics(elapsed, "complex128", -1, eps.getIterationNumber())
     return vals, vecs, stats
+
+
+def probe(path=None):
+    """Record whether the SLEPc comparison leg can execute HERE.
+
+    The port above is faithful to the reference (``scripts/utils.py:
+    190-381``) but petsc4py/slepc4py must be importable for it to run.
+    This probe writes an honest machine-readable status — installed (with
+    versions) or blocked (with the concrete missing pieces) — so benchmark
+    artifacts can state why the stress CSV has or lacks ``slepc`` rows.
+    """
+    import json
+    import shutil
+    import socket
+    import sys
+
+    status = {"leg": "slepc", "python": sys.version.split()[0]}
+    try:
+        from petsc4py import PETSc  # noqa: F401
+        from slepc4py import SLEPc  # noqa: F401
+
+        status["status"] = "available"
+        status["petsc4py"] = getattr(PETSc, "__version__", "?")
+    except ImportError as e:
+        # Source-build feasibility: needs either wheels (network) or a
+        # PETSc/SLEPc + MPI compiler toolchain already on the box.
+        has_net = True
+        try:
+            socket.create_connection(("pypi.org", 443), timeout=3).close()
+        except OSError:
+            has_net = False
+        status.update({
+            "status": "blocked",
+            "reason": str(e).split(";")[0],
+            "network": has_net,
+            "mpicc": shutil.which("mpicc"),
+            "note": "petsc4py/slepc4py absent; no network egress and no "
+                    "MPI compiler wrapper in the image, so the source "
+                    "build in docs/INSTALL_SLEPC.md cannot run here. The "
+                    "port (harness/slepc.py, harness/compare_slepc.py) is "
+                    "UNEXERCISED in this environment; only its "
+                    "ImportError path is tested.",
+        })
+    if path:
+        with open(path, "w") as f:
+            json.dump(status, f, indent=2)
+    return status
+
+
+if __name__ == "__main__":
+    import json as _json
+    import sys as _sys
+
+    out = _sys.argv[1] if len(_sys.argv) > 1 else None
+    print(_json.dumps(probe(out), indent=2))

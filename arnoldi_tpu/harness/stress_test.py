@@ -39,12 +39,32 @@ PARAMETERS = [
     ]
 ]
 
+#: The reference's grid VERBATIM (``stress-test.py:29-41``): explicit fixed
+#: truncation sizes p — exercises the reference's fixed-p behavior (our
+#: ``p=None`` adaptive policy never sweeps it; the CSV ``p`` column is
+#: populated only by this preset).
+REFERENCE_PARAMETERS = [
+    EigensolverParameters(nev=nev, ncv=ncv, tol=1e-8, max_restarts=100_000,
+                          p=p, which=which)
+    for which in ("LM", "LR")
+    for (nev, ncv, p) in [
+        (3, 20, 10), (6, 20, 12), (10, 20, 16), (12, 30, 21), (20, 40, 30),
+        (30, 50, 40), (50, 80, 65), (50, 100, 75), (75, 100, 85),
+    ]
+]
+
 QUICK_PARAMETERS = [
     EigensolverParameters(nev=nev, ncv=ncv, tol=1e-8, max_restarts=10_000,
                           p=None, which=which)
     for which in ("LM", "LR")
     for (nev, ncv) in [(3, 20), (5, 40)]
 ]
+
+GRIDS = {
+    "adaptive": PARAMETERS,
+    "ref-fixed-p": REFERENCE_PARAMETERS,
+    "quick": QUICK_PARAMETERS,
+}
 
 
 def run_one(method, A, params, key):
@@ -98,6 +118,11 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="stress-test.csv")
     ap.add_argument("--quick", action="store_true",
                     help="4-config grid for smoke testing")
+    ap.add_argument("--grid", default="adaptive", choices=sorted(GRIDS),
+                    help="parameter preset: 'adaptive' (this framework's "
+                    "p=None policy over the reference's (nev,ncv) pairs), "
+                    "'ref-fixed-p' (the reference grid VERBATIM, explicit "
+                    "p per row — stress-test.py:29-41), 'quick'")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the untimed per-method warmup solve (one-time "
                     "jax/native/BLAS init then lands in the first grid row)")
@@ -121,7 +146,7 @@ def main(argv=None):
 
     A = matrix_from_spec(args.matrix)
     n = A.shape[0]
-    grid = QUICK_PARAMETERS if args.quick else PARAMETERS
+    grid = QUICK_PARAMETERS if args.quick else GRIDS[args.grid]
     methods = args.methods.split(",")
 
     if not args.no_warmup:

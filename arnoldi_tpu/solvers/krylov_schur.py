@@ -527,9 +527,10 @@ def partial_schur(
         # the real Schur form with 2x2 blocks for conjugate pairs (ARPACK
         # dnaupd-style), so device arrays stay real throughout.
         if is_real:
-            T2a, Qa, eigs_a = dense_tier.ordered_schur_real(
-                H_active, sort_function=sort_function
-            )
+            with clock("f32.rotate"):
+                T2a, Qa, eigs_a = dense_tier.ordered_schur_real(
+                    H_active, sort_function=sort_function
+                )
             b_starts, b_sizes = dense_tier.real_schur_blocks(T2a)
             # in_block[i]: active positions i-1, i belong to one 2x2 block
             in_block = np.zeros(ma + 1, dtype=bool)
@@ -537,9 +538,10 @@ def partial_schur(
                 if sz == 2:
                     in_block[s + 1] = True
         else:
-            T2a, Qa = dense_tier.ordered_schur(
-                H_active, sort_function=sort_function
-            )
+            with clock("f32.rotate"):
+                T2a, Qa = dense_tier.ordered_schur(
+                    H_active, sort_function=sort_function
+                )
             eigs_a = np.diag(T2a)
             b_starts, b_sizes = [], []
             in_block = np.zeros(ma + 1, dtype=bool)
@@ -693,10 +695,16 @@ def partial_schur(
             # retention still grows with the converged count (freezing it
             # entirely costs 45% extra matvecs at nev=3ncv/4 on the
             # mark(100) grid; the coarse ladder costs ~0-6%).
-            raw = max(k_new + max((m - k_new) // 2, 1),
-                      nev + min(k_new, max((m - nev) // 2, 1)))
+            policy = _os.environ.get("ARNOLDI_RETAIN", "default")
+            if policy == "arpack":
+                raw = nev + min(k_new, max((m - nev) // 2, 1))
+            elif policy == "half":
+                raw = max(m // 2, k_new + 1)
+            else:
+                raw = max(k_new + max((m - k_new) // 2, 1),
+                          nev + min(k_new, max((m - nev) // 2, 1)))
             if host_tier:
-                q = 8 if max_dim >= 64 else 4
+                q = 1 if policy != "default" else (8 if max_dim >= 64 else 4)
             else:
                 q = max(8, -(-(max_dim - nev) // 3))
             pa = min(-(-raw // q) * q, m - 1)
@@ -795,7 +803,9 @@ def partial_schur(
                                          n_blocks=max_dim // b, b=b)
             n_iter = int(jb) * b
         elif host_tier:
-            V = _host_truncate(V, Qp_full.astype(wdtype), p=pa, m=m, carry=b)
+            with clock("f32.truncate"):
+                V = _host_truncate(V, Qp_full.astype(wdtype), p=pa, m=m,
+                                   carry=b)
             with clock("f32.restart_dispatch"):
                 V, H, n_iter = host_arnoldi_expand(
                     host_matvec, V, H, exp_tol, start_dim=pa,
