@@ -800,23 +800,33 @@ bool swap_adjacent_blocks_d(int n, double *T, double *Q, int j, int p,
   }
 
   // Similarity on the window: T <- (I x W^T) T (I x W), Q <- Q W.
-  std::vector<double> tmp((size_t)w * n);
-  for (int i = 0; i < w; ++i)  // rows: W^T * T[j..j+w)
-    for (int col = 0; col < n; ++col) {
+  // Range-limited: rows j..j+w are zero in columns < j (T is
+  // quasi-triangular and blocks never straddle column j), and columns
+  // j..j+w are zero below row j+w — updating only the structurally
+  // nonzero ranges halves the T traffic per swap (the reorder is the
+  // hottest dense-tier op in the host restart loop: ~10^3 swaps per
+  // rotate when the fresh QR order is far from the sort order).
+  thread_local std::vector<double> buf;
+  buf.resize((size_t)w * (n > j ? n - j : 0));
+  for (int i = 0; i < w; ++i)  // rows: W^T * T[j..j+w), columns [j, n)
+    for (int col = j; col < n; ++col) {
       double acc = 0.0;
       for (int k = 0; k < w; ++k) acc += W[k * w + i] * atd(T, n, j + k, col);
-      tmp[(size_t)i * n + col] = acc;
+      buf[(size_t)i * (n - j) + (col - j)] = acc;
     }
   for (int i = 0; i < w; ++i)
-    for (int col = 0; col < n; ++col) atd(T, n, j + i, col) = tmp[(size_t)i * n + col];
-  std::vector<double> tmpc((size_t)n * w);
-  for (int r = 0; r < n; ++r)  // cols: T[:, j..j+w) * W
+    for (int col = j; col < n; ++col)
+      atd(T, n, j + i, col) = buf[(size_t)i * (n - j) + (col - j)];
+  int rend_sim = std::min(j + w, n);
+  thread_local std::vector<double> tmpc;
+  tmpc.resize((size_t)rend_sim * w);
+  for (int r = 0; r < rend_sim; ++r)  // cols: T[:, j..j+w) * W, rows [0, j+w)
     for (int i = 0; i < w; ++i) {
       double acc = 0.0;
       for (int k = 0; k < w; ++k) acc += atd(T, n, r, j + k) * W[k * w + i];
       tmpc[(size_t)r * w + i] = acc;
     }
-  for (int r = 0; r < n; ++r)
+  for (int r = 0; r < rend_sim; ++r)
     for (int i = 0; i < w; ++i) atd(T, n, r, j + i) = tmpc[(size_t)r * w + i];
   for (int r = 0; r < n; ++r) {  // Q <- Q W
     double acc[4];
