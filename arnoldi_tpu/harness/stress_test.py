@@ -129,6 +129,11 @@ def main(argv=None):
     ap.add_argument("--methods", default="krylov-schur,arpack",
                     help="comma list of krylov-schur,arpack,deflation")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="repetitions per seed; the elapsed recorded for a "
+                    "seed is the MIN over reps (steady-state estimate, "
+                    "shedding transient system noise); matvec counts are "
+                    "deterministic per seed")
     ap.add_argument("--seeds", type=int, default=1,
                     help="seeds per row (start vectors seed..seed+N-1); the "
                     "CSV records PER-FIELD MEDIANS over the seeds and "
@@ -165,47 +170,66 @@ def main(argv=None):
         if params.ncv >= n or params.nev >= n // 2:
             continue
         ref_vals = {}          # seed -> first method's eigenvalues
+        # Interleave METHODS inside each (seed, rep): this box's sustained
+        # throughput wobbles +/-30% on a minutes scale (shared VM), and a
+        # method-blocked order would hand one solver the slow phase and
+        # the other the fast one — adjacent-in-time pairs sample the same
+        # noise, so the per-row ratio is honest even when absolutes drift.
+        runs = {m: [] for m in methods}      # method -> per-seed stats
+        match = {m: True for m in methods}
+        err = {}
+        for s in seeds:
+            for rep in range(max(args.reps, 1)):
+                for method in methods:
+                    if method in err:
+                        continue
+                    try:
+                        vals, vecs, stats = run_one(method, A, params, s)
+                    except Exception as e:  # record failure, keep sweeping
+                        err[method] = e
+                        continue
+                    if rep == 0:
+                        runs[method].append(stats)
+                        if method == methods[0]:
+                            # only the FIRST method defines the reference;
+                            # if it failed, others must not self-match
+                            ref_vals[s] = np.asarray(vals)
+                        elif s not in ref_vals:
+                            match[method] = None   # reference failed
+                        elif match[method]:
+                            # Boundary-tie-aware gate: on tied-|lambda|
+                            # clusters (mark is symmetric +/-) the cut
+                            # member is ambiguous and both solvers are
+                            # correct — see eigenvalues_match.
+                            match[method] = bool(eigenvalues_match(
+                                np.asarray(vals), ref_vals[s],
+                                params.which))
+                    elif stats.elapsed < runs[method][-1].elapsed:
+                        runs[method][-1] = stats   # min over reps
         for method in methods:
-            runs, match, err = [], True, None
-            for s in seeds:
-                try:
-                    vals, vecs, stats = run_one(method, A, params, s)
-                except Exception as e:  # record failures, keep sweeping
-                    err = e
-                    break
-                if method == methods[0]:
-                    # only the FIRST method may define the reference; if
-                    # it failed, later methods must not silently self-match
-                    ref_vals[s] = np.asarray(vals)
-                elif s not in ref_vals:
-                    match = None   # reference method failed for this config
-                elif match:
-                    # Boundary-tie-aware gate: on tied-|lambda| clusters
-                    # (mark is symmetric +/-) the cut member is ambiguous
-                    # and both solvers are correct — see eigenvalues_match.
-                    match = bool(eigenvalues_match(
-                        np.asarray(vals), ref_vals[s], params.which))
-                runs.append(stats)
-            if err is not None:
+            if method in err:
+                e = err[method]
                 rows.append([
                     method, "-", params.nev, params.ncv, params.tol,
                     params.max_restarts, params.p, params.which,
-                    -1, -1, -1, f"error: {type(err).__name__}",
+                    -1, -1, -1, f"error: {type(e).__name__}",
                 ])
                 print(f"{method:14s} nev={params.nev:3d} ncv={params.ncv:4d} "
-                      f"{params.which}: FAILED {err}", file=sys.stderr)
+                      f"{params.which}: FAILED {e}", file=sys.stderr)
                 continue
-            elapsed = float(np.median([r.elapsed for r in runs]))
-            matvecs = int(np.median([r.matvecs for r in runs]))
-            restarts = int(np.median([r.restarts for r in runs]))
+            rr = runs[method]
+            elapsed = float(np.median([r.elapsed for r in rr]))
+            matvecs = int(np.median([r.matvecs for r in rr]))
+            restarts = int(np.median([r.restarts for r in rr]))
             rows.append([
-                method, runs[0].dtype, params.nev, params.ncv, params.tol,
+                method, rr[0].dtype, params.nev, params.ncv, params.tol,
                 params.max_restarts, params.p, params.which,
-                round(elapsed, 4), matvecs, restarts, match,
+                round(elapsed, 4), matvecs, restarts, match[method],
             ])
             print(f"{method:14s} nev={params.nev:3d} ncv={params.ncv:4d} "
                   f"{params.which}: {elapsed:8.3f}s {matvecs:7d} mv "
-                  f"match={match} ({len(runs)} seeds)", file=sys.stderr)
+                  f"match={match[method]} ({len(rr)} seeds)",
+                  file=sys.stderr)
 
     with open(args.output, "w", newline="") as f:
         w = csv.writer(f)

@@ -517,13 +517,25 @@ def eigsh_filtered(
     key=None,
     refine="auto",
     mesh=None,
+    X0=None,
+    transition=0.25,
     _orig=None,
     _census_mu=None,
+    _extras=False,
 ):
     """``nev`` eigenpairs of a HERMITIAN operator inside ``interval=(a, b)``
     by Chebyshev-filtered subspace iteration — interior spectrum WITHOUT
     shift-invert (no factorization, no inner solves; every step is
     ``degree`` matvecs per subspace vector).
+
+    ``X0`` (optional, (k0, n) row block): warm-start subspace rows —
+    :func:`eigsh_window` passes the previous slice's transition-band Ritz
+    rows, whose directions overlap the next slice's window (adjacent
+    slices share a transition band by construction), cutting the sweeps
+    the fresh slice needs; rows beyond ``k0`` stay random, so coverage is
+    never narrower than a cold start.  ``_extras`` (private) additionally
+    returns ``(theta, X)`` — the final coarse Ritz values and the device
+    row block — for exactly that handoff.
 
     ``_orig``/``_census_mu`` are :func:`eigsh_window`'s private plumbing:
     the slicing driver passes its already-built (and mesh-sharded)
@@ -641,8 +653,15 @@ def eigsh_filtered(
     w_own = b_m - a_m
     sin_eff = _edge_sine(a_m, b_m, lmin, lmax)
     if degree is None:
-        # transition half-width = a quarter of the owned window
-        degree = _auto_degree(lmin, lmax, sin_eff, 0.25 * w_own)
+        # Transition half-width = ``transition`` x the owned window.
+        # The subspace is sized to hold the whole CAPTURE window (owned +
+        # transition pad), so the convergence rate is set by the gain at
+        # the capture edge — which the construction keeps ~fixed as the
+        # transition widens — while the filter degree falls as
+        # 1/transition.  Total cost ~ s(transition) * degree(transition)
+        # has its measured optimum well above the naive "sharp filter"
+        # choice; see docs/INTERIOR.md (degree economics).
+        degree = _auto_degree(lmin, lmax, sin_eff, transition * w_own)
     degree = int(degree)
     delta = 2.5 * (lmax - lmin) * sin_eff / degree
     lo_f, hi_f = max(a_m - delta, lmin), min(b_m + delta, lmax)
@@ -727,6 +746,15 @@ def eigsh_filtered(
 
         X = jax.device_put(X, NamedSharding(
             mesh, PartitionSpec(None, mesh.axis_names[0])))
+    if X0 is not None and getattr(X0, "shape", (0,))[0]:
+        k0 = min(int(X0.shape[0]), s)
+        W = jnp.asarray(X0[:k0], dtype=wdtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            W = jax.device_put(W, NamedSharding(
+                mesh, PartitionSpec(None, mesh.axis_names[0])))
+        X = jax.lax.dynamic_update_slice(X, W, (0, 0))
     X = _cholqr2(X)
 
     verbose = bool(os.environ.get("ARNOLDI_FILTER_VERBOSE"))
@@ -841,16 +869,24 @@ def eigsh_filtered(
         else:
             vals = np.empty(0)
             vecs = np.empty((n, 0))
-        return vals, vecs, _finalize_history(history, all_inside,
-                                             len(vals), matvecs, n_sweeps)
+        hist = _finalize_history(history, all_inside, len(vals), matvecs,
+                                 n_sweeps)
+        if _extras:
+            # warm-start handoff rows come from the COARSE phase's state
+            # (the next slice re-converges them anyway)
+            return vals, vecs, hist, (theta_h, X)
+        return vals, vecs, hist
 
     pick = pick[np.argsort(theta_h[pick])]  # scipy-ascending
     vals = theta_h[pick]
     # device-side row gather first: transfer only the wanted rows
     vecs = (np.asarray(X[jnp.asarray(pick)], np.float64).T if pick.size
             else np.empty((n, 0)))
-    return vals, vecs, _finalize_history(history, all_inside, len(vals),
-                                         matvecs, n_sweeps)
+    hist = _finalize_history(history, all_inside, len(vals), matvecs,
+                             n_sweeps)
+    if _extras:
+        return vals, vecs, hist, (theta_h, X)
+    return vals, vecs, hist
 
 
 def _finalize_history(history, all_inside, n_found, matvecs, n_sweeps):
@@ -1117,6 +1153,7 @@ def eigsh_window(
     key=None,
     refine="auto",
     mesh=None,
+    transition=0.25,
 ):
     """ALL eigenpairs of a HERMITIAN operator inside ``interval=(a, b)`` by
     SPECTRUM SLICING (the EVSL workflow): a KPM count sizes the job, the
@@ -1194,6 +1231,7 @@ def eigsh_window(
     all_vals, all_vecs = [], []
     matvecs, sweeps = mv_count, 0
     trace = []
+    carry = None   # previous slice's transition-band rows (warm start)
     for i in range(n_slices):
         lo, hi = float(cuts[i]), float(cuts[i + 1])
         if hi <= lo:
@@ -1203,11 +1241,20 @@ def eigsh_window(
         # each (minutes through the tunnel at the 1M-row scale); the
         # original A rides along for the dw tier's cast residual, and the
         # census moments serve each slice's sizing count when long enough
-        vals_i, vecs_i, hist_i = eigsh_filtered(
+        vals_i, vecs_i, hist_i, (theta_i, X_i) = eigsh_filtered(
             op, None, (lo, hi), degree=degree, tol=tol,
             max_iters=max_iters, bounds=(lmin, lmax), dtype=dtype,
             key=jax.random.fold_in(ks, i), refine=refine, mesh=mesh,
-            _orig=A, _census_mu=mu)
+            X0=carry, transition=transition, _orig=A, _census_mu=mu,
+            _extras=True)
+        # Warm-start handoff: this slice's transition band overlaps the
+        # next slice's window, so its above-the-cut Ritz rows are
+        # near-converged directions THERE — measured to cut the next
+        # slice's sweep count (the rows are re-verified by the next
+        # slice's own gate, so correctness is unaffected).
+        if i + 1 < n_slices:
+            up = np.nonzero(theta_i >= hi)[0]
+            carry = X_i[jnp.asarray(up)] if up.size else None
         matvecs += hist_i.total_matvecs
         sweeps += int(hist_i.restarts.max()) if hist_i.restarts.size else 0
         trace.extend(hist_i.residual_trace)

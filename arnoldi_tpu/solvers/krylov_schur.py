@@ -445,8 +445,10 @@ def partial_schur(
         # next expansion.
         if checkpoint_is_sharded(checkpoint_path):
             assert mesh is not None, (
-                "sharded checkpoint: pass the mesh it was saved under")
-            ck = load_checkpoint_sharded(checkpoint_path, mesh)
+                "sharded checkpoint: pass a mesh (resume is mesh-elastic — "
+                "any device count whose padding covers n)")
+            ck = load_checkpoint_sharded(checkpoint_path, mesh,
+                                         n_solve=n_solve)
         else:
             ck = load_checkpoint(checkpoint_path)
         head = ck.pa + b

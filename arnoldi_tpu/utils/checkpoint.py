@@ -106,31 +106,95 @@ def save_checkpoint_sharded(path, ckpt: RestartCheckpoint):
                       **_meta_arrays(ckpt))
 
 
-def load_checkpoint_sharded(path, mesh) -> RestartCheckpoint:
+def load_checkpoint_sharded(path, mesh, n_solve=None) -> RestartCheckpoint:
     """Rebuild a mesh snapshot: metadata from ``path``, basis shards from
-    this process's own file, assembled into a global array over ``mesh``
-    (whose shape must match the one that saved the snapshot)."""
+    the per-process files, assembled into a global array over ``mesh``.
+
+    RESUME IS MESH-ELASTIC: ``mesh`` need not match the mesh that saved
+    the snapshot — an N-way checkpoint loads into an M-way mesh (the
+    fault-recovery story: lose a host, resume on what remains; regain
+    capacity, resume wider).  Each requested target shard is assembled
+    from whichever saved shard pieces cover its column range: the fast
+    path (same mesh) still reads only this process's own file; resharding
+    reads the minimal set of neighbour files (shared filesystem, the same
+    assumption the save path makes).
+    """
+    import glob
+
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
     ck = load_checkpoint(path)
     with np.load(path) as z:
         head = int(z["head"])
-        n_solve = int(z["n_solve"])
-    with np.load(f"{path}.p{jax.process_index()}") as z:
-        local = {int(k[1:]): z[k] for k in z.files}
+        n_saved = int(z["n_solve"])
 
-    sharding = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
+    # Directory of saved pieces: col0 -> (file, key).  Keys are read from
+    # every shard file header (cheap); array data loads lazily on demand.
+    own = f"{path}.p{jax.process_index()}"
+    pieces = {}
+    for fn in sorted(glob.glob(f"{path}.p*")):
+        if fn.endswith(".tmp.npz"):
+            continue
+        with np.load(fn) as z:
+            for k in z.files:
+                pieces.setdefault(int(k[1:]), (fn, k))
+    if not pieces:
+        raise FileNotFoundError(f"no shard files found for {path}")
+    starts = sorted(pieces)
+    cache = {}
+
+    def _piece(col0):
+        if col0 not in cache:
+            fn, k = pieces[col0]
+            with np.load(fn) as z:
+                cache[col0] = z[k]
+        return cache[col0]
+
+    # Prefer this process's own file for the same-mesh fast path.
+    if os.path.exists(own):
+        with np.load(own) as z:
+            for k in z.files:
+                cache[int(k[1:])] = z[k]
+
+    import bisect
 
     def _cb(index):
-        col0 = index[1].start or 0
-        if col0 not in local:
-            raise ValueError(
-                f"checkpoint shard at column {col0} not in this process's "
-                f"file (have {sorted(local)}); the resume mesh must match "
-                "the mesh that saved the snapshot")
-        return local[col0]
+        cols = index[1]
+        c0 = cols.start or 0
+        c1 = cols.stop if cols.stop is not None else n_solve
+        if c0 in cache and cache[c0].shape[1] == c1 - c0:
+            return cache[c0]         # exact piece (same-mesh fast path)
+        parts = []
+        cur = c0
+        while cur < c1:
+            if cur >= n_saved:
+                # The new mesh pads wider than the saving one: those
+                # columns are rows the solve never touches — zeros by
+                # construction (pad_operator's contract).
+                parts.append(np.zeros((head, c1 - cur),
+                                      dtype=_piece(starts[0]).dtype))
+                break
+            i = bisect.bisect_right(starts, cur) - 1
+            if i < 0:
+                raise ValueError(
+                    f"checkpoint has no shard covering column {cur} "
+                    f"(saved offsets: {starts})")
+            p0 = starts[i]
+            arr = _piece(p0)
+            if p0 + arr.shape[1] <= cur:
+                raise ValueError(
+                    f"checkpoint shard gap at column {cur} (piece at {p0} "
+                    f"is {arr.shape[1]} wide)")
+            hi = min(c1, p0 + arr.shape[1], n_saved)
+            take = arr[:, cur - p0 : hi - p0]
+            parts.append(take)
+            cur += take.shape[1]
+        out = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+        return np.ascontiguousarray(out)
 
+    n_solve = n_solve if n_solve is not None else n_saved
+    sharding = NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0]))
     ck.V = jax.make_array_from_callback((head, n_solve), sharding, _cb)
     return ck
 

@@ -460,6 +460,12 @@ def _device_available(budget_s=600):
 
 
 if __name__ == "__main__":
+    # Persistent XLA compilation cache: the fused truncate+expand dispatch
+    # compiles per shape (~10 s each through the TPU tunnel); caching makes
+    # a cold process's first solve cost a warm solve + deserialization.
+    from arnoldi_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     reason = _device_available()
     if reason is not None:
         print(json.dumps({

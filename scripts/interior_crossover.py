@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Interior-eigenproblem crossover calibration: ARPACK shift-invert vs the
+filtered (matvec-only) tier on the 3-D Laplacian.
+
+The interior bench's infeasibility claim ("splu fill ~O(n g^2)") was
+qualitative; this script makes it quantitative (VERDICT r03 weak #5):
+run ARPACK ``eigsh(sigma=...)`` — scipy's splu-backed shift-invert — on
+``laplace_3d(g)`` at grids where the LU fits, record wall time and LU
+fill, run ``eigsh_window`` on the same window, and extrapolate the LU
+memory to the bench grids (g=64/80) where shift-invert stops being
+runnable on any reasonable host.
+
+Writes one JSON artifact:  ``python scripts/interior_crossover.py
+artifacts/interior_crossover_r04.json [gmax]``
+"""
+
+import json
+import resource
+import sys
+import time
+
+import numpy as np
+
+
+def run_grid(g, nev=20):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from arnoldi_tpu import eigsh_window
+    from arnoldi_tpu.matrices import laplace_3d, laplace_3d_eigen
+
+    A = laplace_3d(g)
+    n = A.shape[0]
+    full = np.sort(laplace_3d_eigen(g))
+    # a truly interior window holding ~nev eigenvalues around lambda=-11.93
+    center_idx = int(np.searchsorted(full, -11.93))
+    lo, hi = center_idx - nev // 2, center_idx + nev // 2
+    a = float((full[lo - 1] + full[lo]) / 2)
+    b = float((full[hi] + full[hi + 1]) / 2)
+    want = full[(full >= a) & (full <= b)]
+    sigma = 0.5 * (a + b)
+    row = {"g": g, "n": n, "window": [a, b], "true_count": int(want.size)}
+
+    # --- ARPACK shift-invert (splu factorization of A - sigma I) ---
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.perf_counter()
+    lu = spla.splu(sp.csc_matrix(A - sigma * sp.eye_array(n)))
+    t_lu = time.perf_counter() - t0
+    fill = int(lu.nnz if hasattr(lu, "nnz") else lu.L.nnz + lu.U.nnz)
+    t0 = time.perf_counter()
+    vals_a, vecs_a = spla.eigsh(A, k=want.size, sigma=sigma, which="LM",
+                                tol=1e-8)
+    t_solve = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    dist_a = np.abs(np.sort(vals_a)[:, None] - want[None, :]).min(axis=1)
+    row["arpack_shift_invert"] = {
+        "lu_seconds": round(t_lu, 3), "solve_seconds": round(t_solve, 3),
+        "lu_nnz": fill, "lu_bytes_est": fill * 12,
+        "rss_delta_mb": round((rss1 - rss0) / 1024, 1),
+        "found": int(len(vals_a)),
+        "complete": bool(dist_a.size == want.size and dist_a.max() < 1e-6),
+    }
+    del lu, vals_a, vecs_a
+
+    # --- filtered tier (matvec-only) on the same window ---
+    t0 = time.perf_counter()
+    vals_f, vecs_f, hist = eigsh_window(A, (a, b), tol=1e-8,
+                                        dtype=np.float64, max_slice=60,
+                                        key=jax.random.key(2))
+    t_f = time.perf_counter() - t0
+    dist_f = (np.abs(np.sort(vals_f)[:, None] - want[None, :]).min(axis=1)
+              if len(vals_f) else np.zeros(0))
+    res = (np.linalg.norm(A @ vecs_f - vals_f * vecs_f, axis=0)
+           if len(vals_f) else np.zeros(0))
+    row["filtered"] = {
+        "seconds": round(t_f, 3), "matvecs": int(hist.total_matvecs),
+        "found": int(len(vals_f)),
+        "complete": bool(len(vals_f) == want.size
+                         and dist_f.size and dist_f.max() < 1e-6),
+        "max_residual": float(res.max()) if res.size else None,
+    }
+    return row
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "interior_crossover.json"
+    gmax = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    grids = [g for g in (24, 32, 48) if g <= gmax]
+    rows = [run_grid(g) for g in grids]
+    # Extrapolate the LU bytes ~ c * n * g^2 to the bench grids.
+    cs = [r["arpack_shift_invert"]["lu_bytes_est"] / (r["n"] * r["g"] ** 2)
+          for r in rows]
+    c = float(np.median(cs))
+    extrap = {g: round(c * g**3 * g**2 / 2**30, 1) for g in (64, 80, 128)}
+    doc = {
+        "what": "ARPACK shift-invert (splu) vs filtered matvec-only tier "
+                "on interior windows of the 3-D Laplacian",
+        "grids": rows,
+        "lu_bytes_per_n_g2": c,
+        "lu_gib_extrapolated": extrap,
+        "note": "shift-invert wins while the LU fits; the filtered tier "
+                "is the only path once the fill exceeds host memory "
+                "(bench grids g=64/80).",
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -211,3 +211,39 @@ def test_sharded_checkpoint_resume_under_mesh(tmp_path):
     v2 = np.sort_complex(np.linalg.eigvals(Th))
     np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
     assert int(h.restarts.max()) >= budget
+
+
+@pytest.mark.parametrize("n_save,n_resume", [(8, 4), (4, 8), (8, 2)])
+def test_sharded_checkpoint_reshards_across_mesh_shapes(tmp_path, n_save,
+                                                        n_resume):
+    """Mesh-ELASTIC resume: an N-way checkpoint loads into an M-way mesh
+    (lose a host and resume on the survivors, or resume wider), including
+    when the two meshes pad the row dimension differently."""
+    from arnoldi_tpu.parallel.mesh import make_mesh
+
+    A = mark(15)  # n = 120
+    kwargs = dict(
+        max_dim=12, stopping_criterion=1e-10,
+        sort_function=arg_largest_real, key=jax.random.key(5),
+        dtype=np.float64, refine=None,
+    )
+    ckpt = str(tmp_path / "elastic_ks.npz")
+
+    mesh_a = make_mesh(n_save)
+    Q_ref, T_ref, h_ref = partial_schur(A, 3, max_restarts=5000,
+                                        mesh=mesh_a, **kwargs)
+    budget = max(2, int(h_ref.restarts.max()) // 2)
+    with pytest.raises(ValueError, match="Has not converged"):
+        partial_schur(A, 3, max_restarts=budget, checkpoint_path=ckpt,
+                      mesh=mesh_a, **kwargs)
+
+    mesh_b = make_mesh(n_resume)
+    Q, T, h = partial_schur(A, 3, max_restarts=5000, checkpoint_path=ckpt,
+                            resume=True, mesh=mesh_b, **kwargs)
+    Qh, Th = np.asarray(Q), np.asarray(T)
+    res = norm(A.todense() @ Qh - Qh @ Th, axis=0)
+    np.testing.assert_allclose(res, 0, atol=1e-8)
+    v1 = np.sort_complex(np.linalg.eigvals(np.asarray(T_ref)))
+    v2 = np.sort_complex(np.linalg.eigvals(Th))
+    np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
+    assert int(h.restarts.max()) >= budget

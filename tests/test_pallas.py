@@ -129,3 +129,43 @@ class TestPallasOrthoInSolver:
         Qh, Th = np.asarray(Q), np.asarray(T)
         res = np.linalg.norm(A.todense() @ Qh - Qh @ Th, axis=0)
         np.testing.assert_allclose(res, 0, atol=1e-5)
+
+
+class TestBsrPallas:
+    """BSR block-gather kernel vs the BsrOperator XLA path (its oracle)."""
+
+    def _op(self, n_side=60, seed=0):
+        import scipy.sparse as sp
+
+        from arnoldi_tpu.linop import BsrOperator
+        from arnoldi_tpu.matrices import mark
+
+        A = mark(n_side)
+        return BsrOperator.from_scipy(A, blocksize=(8, 8), dtype=np.float32)
+
+    def test_matches_xla_path(self):
+        from arnoldi_tpu.ops.pallas.spmv_bsr import bsr_matvec_pallas
+
+        op = self._op()
+        n = op.shape[0]
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(op.matvec(x))
+        y = np.asarray(bsr_matvec_pallas(op.blocks, op.block_cols, x,
+                                         n_rows=op.n_rows, interpret=True,
+                                         row_tile=32))
+        np.testing.assert_allclose(y, y_ref, atol=1e-4)
+
+    def test_row_tile_padding(self):
+        from arnoldi_tpu.ops.pallas.spmv_bsr import bsr_matvec_pallas
+
+        op = self._op(n_side=20)
+        n = op.shape[0]
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(op.matvec(x))
+        # row_tile larger than n_brow exercises the block-row padding
+        y = np.asarray(bsr_matvec_pallas(op.blocks, op.block_cols, x,
+                                         n_rows=op.n_rows, interpret=True,
+                                         row_tile=64))
+        np.testing.assert_allclose(y, y_ref, atol=1e-4)
