@@ -169,3 +169,18 @@ class TestBsrPallas:
                                          n_rows=op.n_rows, interpret=True,
                                          row_tile=64))
         np.testing.assert_allclose(y, y_ref, atol=1e-4)
+
+    def test_lane_packed_v2_matches_xla_path(self):
+        from arnoldi_tpu.ops.pallas.spmv_bsr import (bsr_matvec_pallas16,
+                                                     pack_bsr16)
+
+        op = self._op()
+        n = op.shape[0]
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal(n).astype(np.float32))
+        y_ref = np.asarray(op.matvec(x))
+        b16, c16, tb, Wt = pack_bsr16(op, row_tile16=4)
+        y = np.asarray(bsr_matvec_pallas16(
+            jnp.asarray(b16), jnp.asarray(c16), jnp.asarray(tb), x,
+            Wt=Wt, n_rows=op.n_rows, interpret=True, row_tile16=4))
+        np.testing.assert_allclose(y, y_ref, atol=1e-4)
