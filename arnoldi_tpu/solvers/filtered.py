@@ -518,7 +518,7 @@ def eigsh_filtered(
     refine="auto",
     mesh=None,
     X0=None,
-    transition=0.25,
+    transition=1.5,
     _orig=None,
     _census_mu=None,
     _extras=False,
@@ -652,36 +652,35 @@ def eigsh_filtered(
     #   * convergence is gated on the owned window only.
     w_own = b_m - a_m
     sin_eff = _edge_sine(a_m, b_m, lmin, lmax)
-    if degree is None:
-        # Transition half-width = ``transition`` x the owned window.
-        # The subspace is sized to hold the whole CAPTURE window (owned +
-        # transition pad), so the convergence rate is set by the gain at
-        # the capture edge — which the construction keeps ~fixed as the
-        # transition widens — while the filter degree falls as
-        # 1/transition.  Total cost ~ s(transition) * degree(transition)
-        # has its measured optimum well above the naive "sharp filter"
-        # choice; see docs/INTERIOR.md (degree economics).
-        degree = _auto_degree(lmin, lmax, sin_eff, transition * w_own)
-    degree = int(degree)
-    delta = 2.5 * (lmax - lmin) * sin_eff / degree
-    lo_f, hi_f = max(a_m - delta, lmin), min(b_m + delta, lmax)
-    lo_c, hi_c = max(a_m - 2 * delta, lmin), min(b_m + 2 * delta, lmax)
-    coeffs = jackson_cheby_coeffs(lo_f, hi_f, lmin, lmax, degree)
-
+    # Degree choice (when not user-pinned): transition half-width =
+    # ``transition`` x the owned window.  The subspace is sized to hold
+    # the whole CAPTURE window (owned + transition pad), so the
+    # convergence rate is set by the gain at the capture edge — which the
+    # construction keeps ~fixed as the transition widens — while the
+    # filter degree falls as 1/transition.  Total cost ~ s * degree has
+    # its measured optimum FAR above the naive sharp-filter choice: on
+    # 3-D-Laplacian interior windows the old 0.25 default cost 2.2-2.7x
+    # the matvecs of transition ~1.5-2.0 at identical completeness
+    # (g=48: 550k -> 218k @ 1.5, 201k @ 2.0, rising again by 2.5; g=64
+    # bench window: 717k -> 325k, 60/60 pairs).  Default 1.5 — the
+    # conservative side of the optimum; see docs/INTERIOR.md.  The
+    # choice happens after the owned-count probe below (an empty window
+    # forces a sharp transition).
     all_inside = nev is None
     matvecs = 0
     probes = 8
     expected = None
+    _user_degree = degree
     # One stochastic moment pass prices every count this driver needs
     # (see _kpm_moments): the OWNED-window count (the empty-window
     # collapse guard and the sizing both need it) and the CAPTURE-window
-    # count (what the subspace must hold).  Count-kernel degrees: the
+    # count (what the subspace must hold).  Count-kernel degree: the
     # transition half-width must resolve a quarter of the counted window,
-    # floor 150, capped by the filter degree.
-    cdeg2 = int(min(degree, max(150, _auto_degree(
-        lmin, lmax, sin_eff, 0.25 * w_own, cap=8000))))
-    cdeg = int(min(degree, max(150, _auto_degree(
-        lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
+    # floor 150, capped by an explicit user degree.
+    cdeg2 = max(150, _auto_degree(lmin, lmax, sin_eff, 0.25 * w_own,
+                                  cap=8000))
+    if _user_degree is not None:
+        cdeg2 = min(cdeg2, int(_user_degree))
     kz1, kz2 = jax.random.split(kz)
     if all_inside:
         # The OWNED count arms the empty-window collapse guard, and the
@@ -694,6 +693,22 @@ def eigsh_filtered(
                                probes=probes, key=kz2, mesh=mesh)
         matvecs += probes * (cdeg2 + 1)
         expected = count_from_moments(mu2, (a_m, b_m), (lmin, lmax))
+        if expected < 1.0:
+            # (Near-)empty owned window: a WIDE transition would pull the
+            # neighbouring spectrum into the capture band and the inside
+            # count would flap on boundary Rayleigh quotients; a sharp
+            # filter keeps the capture band as empty as the window, so
+            # the emptiness gate settles in two sweeps.
+            transition = min(transition, 0.25)
+    if _user_degree is None:
+        degree = _auto_degree(lmin, lmax, sin_eff, transition * w_own)
+    degree = int(degree)
+    delta = 2.5 * (lmax - lmin) * sin_eff / degree
+    lo_f, hi_f = max(a_m - delta, lmin), min(b_m + delta, lmax)
+    lo_c, hi_c = max(a_m - 2 * delta, lmin), min(b_m + 2 * delta, lmax)
+    coeffs = jackson_cheby_coeffs(lo_f, hi_f, lmin, lmax, degree)
+    cdeg = int(min(degree, max(150, _auto_degree(
+        lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
     if subspace is not None:
         s = int(subspace)
     else:
@@ -1153,7 +1168,7 @@ def eigsh_window(
     key=None,
     refine="auto",
     mesh=None,
-    transition=0.25,
+    transition=1.5,
 ):
     """ALL eigenpairs of a HERMITIAN operator inside ``interval=(a, b)`` by
     SPECTRUM SLICING (the EVSL workflow): a KPM count sizes the job, the

@@ -36,11 +36,21 @@ def run_grid(g, nev=20):
     A = laplace_3d(g)
     n = A.shape[0]
     full = np.sort(laplace_3d_eigen(g))
-    # a truly interior window holding ~nev eigenvalues around lambda=-11.93
-    center_idx = int(np.searchsorted(full, -11.93))
-    lo, hi = center_idx - nev // 2, center_idx + nev // 2
-    a = float((full[lo - 1] + full[lo]) / 2)
-    b = float((full[hi] + full[hi + 1]) / 2)
+    # A truly interior window of ~nev eigenvalues around lambda=-11.93,
+    # covering WHOLE degenerate clusters (the 3-D Laplacian spectrum is
+    # heavily degenerate — (i,j,k) permutations; an edge placed ON a
+    # cluster makes ownership ill-defined for every solver), with edges
+    # at midpoints between DISTINCT values.
+    dv, counts = np.unique(np.round(full, 9), return_counts=True)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    ci = int(np.searchsorted(dv, -11.93))
+    lo_c = ci
+    while lo_c > 1 and cum[ci + 1] - cum[lo_c] < nev:
+        lo_c -= 1
+    hi_c = ci + 1
+    a = float((dv[lo_c - 1] + dv[lo_c]) / 2)
+    b = float((dv[hi_c - 1] + dv[hi_c]) / 2) if hi_c < len(dv) else float(
+        dv[-1] + 1e-6)
     want = full[(full >= a) & (full <= b)]
     sigma = 0.5 * (a + b)
     row = {"g": g, "n": n, "window": [a, b], "true_count": int(want.size)}
@@ -102,9 +112,11 @@ def main():
         "grids": rows,
         "lu_bytes_per_n_g2": c,
         "lu_gib_extrapolated": extrap,
-        "note": "shift-invert wins while the LU fits; the filtered tier "
-                "is the only path once the fill exceeds host memory "
-                "(bench grids g=64/80).",
+        "note": "shift-invert wins only at small grids (g<=32 here); at "
+                "g=48 the filtered tier is already ~4.6x faster in wall "
+                "time (LU fill ~244M nnz, 150 s factorization), and the "
+                "extrapolated LU no longer fits ordinary hosts at the "
+                "bench grids g=64/80.",
     }
     with open(out, "w") as f:
         json.dump(doc, f, indent=2)
