@@ -368,6 +368,14 @@ def partial_eigh(
             and (n <= _cap or jax.default_backend() == "cpu")):
         host_matvec = _host_matvec(A, np.dtype(wdtype))
     host_tier = host_matvec is not None
+    # Native engine (see krylov_schur): C-speed CSR expansion for real-f64
+    # sparse operators; the truncate stays a host BLAS gemm here because
+    # this driver truncates BEFORE its convergence check.
+    engine = None
+    if host_tier and np.dtype(wdtype) == np.float64:
+        from ..native import host_engine
+
+        engine = host_engine.engine_for(A, wdtype, max_dim, ortho)
 
     selective = ortho == "selective"
     if selective:
@@ -388,6 +396,7 @@ def partial_eigh(
     if host_tier:
         V = np.zeros((max_dim + b, n_solve), dtype=wdtype)
         H = np.zeros((max_dim + b, max_dim), dtype=wdtype)
+        V_alt = np.empty_like(V)     # double-buffered truncation scratch
     else:
         V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
         H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
@@ -472,6 +481,9 @@ def partial_eigh(
         V, H, jb = _block_expand_jit(op, V, H, tol, start_block=0,
                                      n_blocks=max_dim // b, b=b)
         m = int(jb) * b
+    elif engine is not None:
+        V, H, m = engine.expand(V, H, tol, start_dim=0, max_dim=max_dim,
+                                ortho=ortho)
     elif host_tier:
         V, H, m = host_arnoldi_expand(host_matvec, V, H, tol, start_dim=0,
                                       max_dim=max_dim, ortho=ortho)
@@ -512,7 +524,8 @@ def partial_eigh(
         Sp = S[:, :pa]
 
         if host_tier:
-            V = _host_truncate(V, Sp.astype(wdtype), p=pa, m=m, carry=b)
+            V, V_alt = _host_truncate(V, Sp.astype(wdtype), p=pa, m=m,
+                                      carry=b, scratch=V_alt), V
         else:
             V = _truncate_basis(V, jnp.asarray(Sp, dtype=wdtype), p=pa, m=m,
                                 carry=b)
@@ -564,6 +577,10 @@ def partial_eigh(
             V, H, jb = _block_expand_jit(op, V, H, tol, start_block=pa // b,
                                          n_blocks=max_dim // b, b=b)
             m_new = int(jb) * b
+        elif engine is not None:
+            V, H, n_iter = engine.expand(V, H, tol, start_dim=pa,
+                                         max_dim=max_dim, ortho=ortho)
+            m_new = int(n_iter)
         elif host_tier:
             V, H, n_iter = host_arnoldi_expand(host_matvec, V, H, tol,
                                                start_dim=pa, max_dim=max_dim,
