@@ -86,7 +86,21 @@ def _load():
             if not lib.ks_blas_ready():
                 raise RuntimeError("BLAS pointers not installed")
             _lib = lib
-        except Exception:
+        except Exception as e:
+            # The NumPy fallback is ~25%/iteration slower; a broken
+            # toolchain must not degrade silently.  Warn ONCE (the
+            # _build_failed latch guarantees it) with the compiler output
+            # when there is any, then keep the silent-fallback behavior.
+            import warnings
+
+            detail = ""
+            stderr = getattr(e, "stderr", None)
+            if stderr:
+                detail = ": " + stderr.decode(errors="replace").strip()
+            warnings.warn(
+                "native host engine unavailable, falling back to the "
+                f"slower NumPy restart path ({type(e).__name__}: {e}"
+                f"{detail})", RuntimeWarning, stacklevel=3)
             _build_failed = True
             _lib = None
         return _lib
@@ -147,4 +161,10 @@ def engine_for(A, wdtype, max_dim, ortho):
         return None
     if not available():
         return None
-    return CsrEngine(A.astype(np.float64).tocsr(), max_dim)
+    A_csr = A.astype(np.float64).tocsr()
+    # The C kernel indexes with int32; a matrix whose nnz (or n) exceeds
+    # the int32 range would wrap silently under a forced cast and read out
+    # of bounds.  Fall back to the NumPy path instead.
+    if A_csr.nnz > np.iinfo(np.int32).max or A_csr.shape[0] > np.iinfo(np.int32).max:
+        return None
+    return CsrEngine(A_csr, max_dim)

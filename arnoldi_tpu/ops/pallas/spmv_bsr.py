@@ -257,7 +257,7 @@ def bsr_matvec_pallas16(blocks16, cols16, tile_base, x, *, Wt, n_rows,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T16, L, r, 16 * c), lambda i, base: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # x table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),        # x table stays in HBM
         ],
         out_specs=pl.BlockSpec((T16, r, 16 * c), lambda i, base: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -83,6 +83,24 @@ def load_checkpoint(path) -> RestartCheckpoint:
         )
 
 
+def _generation(ckpt: RestartCheckpoint):
+    """Deterministic per-save token, identical on every process.
+
+    Derived from the replicated solver state (H head + counters) so all
+    processes stamp the same value WITHOUT communicating.  Distinct saves
+    produce distinct tokens (H changes every restart); a re-save of the
+    exact same state produces the same token, whose stale shards would by
+    construction hold the very data being saved — harmless to accept.
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(ckpt.H_hp).tobytes())
+    h.update(np.asarray([ckpt.restart, ckpt.total_matvecs],
+                        dtype=np.int64).tobytes())
+    return h.hexdigest()[:16]
+
+
 def save_checkpoint_sharded(path, ckpt: RestartCheckpoint):
     """Mesh snapshot: per-process shard files + process-0 metadata.
 
@@ -90,11 +108,23 @@ def save_checkpoint_sharded(path, ckpt: RestartCheckpoint):
     Each process writes ``{path}.p{k}`` holding its addressable shards
     keyed by global column offset — no cross-host gather, and on a
     single-process mesh exactly one shard file.
+
+    Every file carries a save GENERATION token (deterministic across
+    processes, see :func:`_generation`): resuming at the same path after a
+    save under MORE processes would otherwise silently mix stale
+    ``.p{k}`` pieces from the wider save into the assembled basis (their
+    column offsets still look valid).  The loader rejects pieces whose
+    generation differs from the metadata's, and process 0 additionally
+    deletes surplus ``{path}.p{k}`` files beyond the current process
+    count (same shared-filesystem assumption the save already makes).
     """
+    import glob
+
     import jax
 
     V = ckpt.V
-    shards = {}
+    gen = _generation(ckpt)
+    shards = {"gen": np.asarray(gen)}
     for s in V.addressable_shards:
         col0 = s.index[1].start or 0
         shards[f"c{col0}"] = np.asarray(s.data)
@@ -103,7 +133,20 @@ def save_checkpoint_sharded(path, ckpt: RestartCheckpoint):
         _atomic_savez(path, sharded=np.asarray(True),
                       head=np.asarray(V.shape[0]),
                       n_solve=np.asarray(V.shape[1]),
+                      gen=np.asarray(gen),
                       **_meta_arrays(ckpt))
+        for fn in glob.glob(f"{path}.p*"):
+            if fn.endswith(".tmp.npz"):
+                continue
+            try:
+                k = int(fn[len(path) + 2:])
+            except ValueError:
+                continue
+            if k >= jax.process_count():
+                try:
+                    os.unlink(fn)
+                except OSError:
+                    pass
 
 
 def load_checkpoint_sharded(path, mesh, n_solve=None) -> RestartCheckpoint:
@@ -128,19 +171,35 @@ def load_checkpoint_sharded(path, mesh, n_solve=None) -> RestartCheckpoint:
     with np.load(path) as z:
         head = int(z["head"])
         n_saved = int(z["n_solve"])
+        gen = str(z["gen"]) if "gen" in z.files else None
 
     # Directory of saved pieces: col0 -> (file, key).  Keys are read from
     # every shard file header (cheap); array data loads lazily on demand.
+    # Shard files from a DIFFERENT save generation (stale leftovers of an
+    # earlier save under more processes) are rejected: their column
+    # offsets look valid but their data belongs to another restart.
     own = f"{path}.p{jax.process_index()}"
+
+    def _file_gen(z):
+        return str(z["gen"]) if "gen" in z.files else None
+
     pieces = {}
+    stale = []
     for fn in sorted(glob.glob(f"{path}.p*")):
         if fn.endswith(".tmp.npz"):
             continue
         with np.load(fn) as z:
+            if gen is not None and _file_gen(z) != gen:
+                stale.append(fn)
+                continue
             for k in z.files:
-                pieces.setdefault(int(k[1:]), (fn, k))
+                if k.startswith("c"):
+                    pieces.setdefault(int(k[1:]), (fn, k))
     if not pieces:
-        raise FileNotFoundError(f"no shard files found for {path}")
+        raise FileNotFoundError(
+            f"no shard files found for {path}"
+            + (f" at generation {gen} (stale-generation files "
+               f"ignored: {stale})" if stale else ""))
     starts = sorted(pieces)
     cache = {}
 
@@ -154,8 +213,10 @@ def load_checkpoint_sharded(path, mesh, n_solve=None) -> RestartCheckpoint:
     # Prefer this process's own file for the same-mesh fast path.
     if os.path.exists(own):
         with np.load(own) as z:
-            for k in z.files:
-                cache[int(k[1:])] = z[k]
+            if gen is None or _file_gen(z) == gen:
+                for k in z.files:
+                    if k.startswith("c"):
+                        cache[int(k[1:])] = z[k]
 
     import bisect
 

@@ -197,8 +197,9 @@ def test_sharded_checkpoint_resume_under_mesh(tmp_path):
     ck = load_checkpoint(ckpt)
     assert ck.V is None  # basis is NOT in the meta file
     with np.load(ckpt + ".p0") as z:
-        shard_rows = {z[k].shape[0] for k in z.files}
-        shard_cols = sum(z[k].shape[1] for k in z.files)
+        keys = [k for k in z.files if k.startswith("c")]  # "gen" stamp aside
+        shard_rows = {z[k].shape[0] for k in keys}
+        shard_cols = sum(z[k].shape[1] for k in keys)
     assert shard_rows == {ck.pa + 1}
     assert shard_cols >= A.shape[0]  # all 8 shards live in this process
 
@@ -247,3 +248,51 @@ def test_sharded_checkpoint_reshards_across_mesh_shapes(tmp_path, n_save,
     v2 = np.sort_complex(np.linalg.eigvals(Th))
     np.testing.assert_allclose(v1, v2, rtol=1e-7, atol=1e-9)
     assert int(h.restarts.max()) >= budget
+
+
+def test_sharded_checkpoint_rejects_stale_generation_shards(tmp_path):
+    """Stale ``.p{k}`` files left by an earlier save under MORE processes
+    must not be mixed into the assembled basis (their column offsets look
+    valid but the data belongs to another restart).  Saves stamp a
+    generation token into every file; the loader rejects mismatches and
+    each save deletes surplus shard files beyond the process count."""
+    import os
+
+    from arnoldi_tpu.parallel.mesh import make_mesh
+    from arnoldi_tpu.utils.checkpoint import (RestartCheckpoint,
+                                              load_checkpoint_sharded,
+                                              save_checkpoint_sharded)
+
+    mesh = make_mesh(4)
+    n = 64
+    head = 5
+    V = jax.device_put(
+        np.arange(head * n, dtype=np.float64).reshape(head, n),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, mesh.axis_names[0])))
+    ck = RestartCheckpoint(
+        V=V, H_hp=np.eye(head, head - 1), pa=head - 1, restart=7,
+        total_matvecs=70, matvecs=np.zeros(3, np.int64),
+        restarts=np.zeros(3, np.int64), residual_trace=[1.0])
+    path = str(tmp_path / "gen_ks.npz")
+    save_checkpoint_sharded(path, ck)
+
+    # Plant a stale shard from a fictitious wider save: an offset past the
+    # current save's pieces, wrong generation, garbage data.  Without the
+    # generation gate the loader would prefer this piece for columns >= 48.
+    np.savez(path + ".p1", gen=np.asarray("deadbeefdeadbeef"),
+             c48=np.full((head, 16), -999.0))
+    out = load_checkpoint_sharded(path, mesh)
+    np.testing.assert_array_equal(np.asarray(out.V), np.asarray(V))
+
+    # A save under this (single-process) runtime deletes surplus .p{k>=1}
+    # files left on disk.
+    save_checkpoint_sharded(path, ck)
+    assert not os.path.exists(path + ".p1")
+
+    # If every shard file is from another generation, fail loudly.
+    os.rename(path + ".p0", path + ".stash")
+    np.savez(path + ".p0", gen=np.asarray("deadbeefdeadbeef"),
+             c0=np.full((head, n), -999.0))
+    with pytest.raises(FileNotFoundError, match="stale-generation"):
+        load_checkpoint_sharded(path, mesh)
