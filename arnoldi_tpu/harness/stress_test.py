@@ -20,6 +20,7 @@ import numpy as np
 
 from .suite import (
     EigensolverParameters,
+    arnoldi_py_ref_eig,
     arnoldi_tpu_eig,
     arpack_eig,
     deflation_eig,
@@ -87,6 +88,15 @@ def run_one(method, A, params, key):
         return arnoldi_tpu_eig(A, params, key=jax.random.key(key))
     if method == "deflation":
         return deflation_eig(A, params, key=jax.random.key(key))
+    if method == "arnoldi-py-ref":
+        # The reference implementation itself (scripts/utils.py:161-187),
+        # from the same v0 as the other methods.
+        from ..utils.random import rand_normalized_vector
+
+        v0 = np.asarray(
+            rand_normalized_vector(jax.random.key(key), A.shape[0],
+                                   np.float64))
+        return arnoldi_py_ref_eig(A, params, v0=v0)
     raise ValueError(method)
 
 
@@ -127,7 +137,9 @@ def main(argv=None):
                     help="skip the untimed per-method warmup solve (one-time "
                     "jax/native/BLAS init then lands in the first grid row)")
     ap.add_argument("--methods", default="krylov-schur,arpack",
-                    help="comma list of krylov-schur,arpack,deflation")
+                    help="comma list of krylov-schur,arpack,deflation,"
+                    "arnoldi-py-ref (the reference implementation itself, "
+                    "imported from $ARNOLDI_REF_PATH)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reps", type=int, default=1,
                     help="repetitions per seed; the elapsed recorded for a "

@@ -200,6 +200,97 @@ def arnoldi_tpu_eig(A, params: EigensolverParameters, *, dtype=None,
     return vals, vecs, stats
 
 
+def _reference_package():
+    """Import the REFERENCE implementation (cournape/arnoldi-py) from
+    ``$ARNOLDI_REF_PATH`` (default ``/root/reference/src``).
+
+    The reference is pure NumPy/SciPy, so it runs in-process as just
+    another host method — the directly-measured "match-or-beat" anchor
+    (its own stress harness is ``scripts/stress-test.py:43-67``).
+    Returns the imported package or None when it is not available.
+    """
+    import importlib
+    import os
+    import sys
+
+    path = os.environ.get("ARNOLDI_REF_PATH", "/root/reference/src")
+    if not os.path.isdir(os.path.join(path, "arnoldi")):
+        return None
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    try:
+        return importlib.import_module("arnoldi")
+    except ImportError:
+        return None
+
+
+def arnoldi_py_ref_eig(A, params: EigensolverParameters, v0=None):
+    """THE REFERENCE implementation under this harness's interface
+    (its own driver: ``scripts/utils.py:161-187`` ``arnoldi_py_eig``).
+
+    Mirrors the reference stress harness exactly: the operator is cast to
+    complex128 (``stress-test.py:61`` — the reference's ``partial_schur``
+    works in complex arithmetic regardless), wrapped in a matvec counter,
+    solved with ``arnoldi.krylov_schur.partial_schur``, and the
+    eigenpairs extracted by diagonalizing the returned T.
+
+    ``v0``: shared start vector.  The reference draws its start vector
+    from the global ``np.random`` state inside ``partial_schur``
+    (``krylov_schur.py:45``); to run it from the SAME v0 as the other
+    methods (rows independent of grid order), the module-level
+    ``rand_normalized_vector`` binding is temporarily replaced — the
+    vector the reference sees is bit-identical to ARPACK's ``v0=``.
+    """
+    import importlib
+
+    ref = _reference_package()
+    if ref is None:
+        raise RuntimeError(
+            "reference package not importable (set ARNOLDI_REF_PATH)")
+    ref_ks = importlib.import_module("arnoldi.krylov_schur")
+    ref_utils = importlib.import_module("arnoldi.utils")
+
+    sort_function = {
+        "LM": ref_utils.arg_largest_magnitude,
+        "LR": ref_utils.arg_largest_real,
+    }[params.which]
+
+    counter = MatvecCounter(sp.csr_matrix(A).astype(np.complex128))
+    orig = ref_ks.rand_normalized_vector
+    if v0 is not None:
+        start = np.asarray(v0)
+        start = start / np.linalg.norm(start)
+
+        def rand_normalized_vector(n, dtype=np.float64):
+            return start.astype(dtype)
+
+        ref_ks.rand_normalized_vector = rand_normalized_vector
+    try:
+        t0 = time.perf_counter()
+        Q, T, history = ref_ks.partial_schur(
+            counter, params.nev, max_dim=params.ncv,
+            stopping_criterion=params.tol,
+            max_restarts=params.max_restarts,
+            sort_function=sort_function, p=params.p,
+        )
+        elapsed = time.perf_counter() - t0
+    finally:
+        ref_ks.rand_normalized_vector = orig
+
+    vals, S = np.linalg.eig(T)
+    vecs = Q @ S
+    idx = sort_function(vals)
+    vals = vals[idx]
+    vecs = vecs[:, idx]
+    # restarts: the reference records per-eigenvalue restart counts in its
+    # History; matvecs: the counter's ACTUAL count (same accounting as the
+    # ARPACK rows — the reference's own formula undercounts by excluding
+    # the initial expansion).
+    stats = Statistics(elapsed, "complex128", counter.n_matvecs,
+                       int(np.max(history.restarts)))
+    return vals, vecs, stats
+
+
 def deflation_eig(A, params: EigensolverParameters, *, key=None):
     """Explicit-restart-with-deflation driver under the same interface."""
     import jax
