@@ -141,6 +141,15 @@ def main(argv=None):
                     "arnoldi-py-ref (the reference implementation itself, "
                     "imported from $ARNOLDI_REF_PATH)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-nev", type=int, default=None,
+                    help="skip grid rows with nev above this (the "
+                    "explicit-restart deflation method converges one "
+                    "eigenpair at a time in complex128 — its nev>=50 "
+                    "mark:100 rows cost 300-1300 s/seed, so they run at "
+                    "reduced seed counts in separate sweeps)")
+    ap.add_argument("--min-nev", type=int, default=None,
+                    help="skip grid rows with nev below this (the "
+                    "complement of --max-nev for the reduced-seed sweeps)")
     ap.add_argument("--reps", type=int, default=1,
                     help="repetitions per seed; the elapsed recorded for a "
                     "seed is the MIN over reps (steady-state estimate, "
@@ -181,6 +190,10 @@ def main(argv=None):
     for params in grid:
         if params.ncv >= n or params.nev >= n // 2:
             continue
+        if args.max_nev is not None and params.nev > args.max_nev:
+            continue
+        if args.min_nev is not None and params.nev < args.min_nev:
+            continue
         ref_vals = {}          # seed -> first method's eigenvalues
         # Interleave METHODS inside each (seed, rep): this box's sustained
         # throughput wobbles +/-30% on a minutes scale (shared VM), and a
@@ -191,15 +204,23 @@ def main(argv=None):
         match = {m: True for m in methods}
         err = {}
         for s in seeds:
-            for rep in range(max(args.reps, 1)):
-                for method in methods:
-                    if method in err:
-                        continue
+            # Methods stay adjacent-in-time within each seed (the shared
+            # VM's ±30% throughput drift), but REPS are the inner loop:
+            # with a heavyweight method in the rotation (the complex128
+            # reference runs ~10x longer and blows the cache), the run
+            # that FOLLOWS it starts cache-cold — measured 1.5x inflation
+            # on the following method's first rep (r05).  Rep 2+ of a
+            # method follows itself, so min-over-reps is the steady-state
+            # number; use --reps >= 2 whenever methods are mixed-weight.
+            for method in methods:
+                if method in err:
+                    continue
+                for rep in range(max(args.reps, 1)):
                     try:
                         vals, vecs, stats = run_one(method, A, params, s)
                     except Exception as e:  # record failure, keep sweeping
                         err[method] = e
-                        continue
+                        break
                     if rep == 0:
                         runs[method].append(stats)
                         if method == methods[0]:

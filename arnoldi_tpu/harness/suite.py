@@ -60,6 +60,17 @@ class MatvecCounter(LinearOperator):
         self.n_matvecs += 1
         return self.A @ x
 
+    def _rmatvec(self, x):
+        # (reference ``scripts/utils.py:66-68``) — scipy's svds needs the
+        # adjoint action; counted identically.  The adjoint is cached:
+        # rebuilding csc->csr per call would bill conversion as matvecs.
+        self.n_matvecs += 1
+        if not hasattr(self, "_AH"):
+            self._AH = self.A.conj().T
+            if sp.issparse(self._AH):
+                self._AH = sp.csr_matrix(self._AH)
+        return self._AH @ x
+
 
 def find_best_matching(a, b):
     """Hungarian matching of two eigenvalue sets

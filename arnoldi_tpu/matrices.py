@@ -239,3 +239,50 @@ def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
         A = A.astype(dtype)
     A.sum_duplicates()
     return A
+
+
+def random_scattered_complex_pairs(n, nnz_per_row=8, *, coupling=0.05,
+                                   omega=0.3, n_pairs=5, seed=0,
+                                   bandwidth=None, block=None,
+                                   dtype=np.float64):
+    """REAL nonsymmetric scattered matrix whose DOMINANT eigenvalues are
+    complex-conjugate pairs — the rotation-coupled profile of
+    convection/advection discretizations (a real operator with local
+    circulation), and the workload that exercises the real-Schur 2x2-block
+    path at scale (the reference xfails its real ordered-Schur mode,
+    ``src/arnoldi/utils.py:64-65``; here it is a production path).
+
+    Construction: :func:`random_scattered`'s diagonally-dominant cloud,
+    with the ``2 * n_pairs`` top diagonal outliers re-formed into 2x2
+    rotation blocks ``[[d_j, -w_j], [w_j, d_j]]`` (eigenvalues
+    ``d_j ± i w_j`` up to the O(coupling) cloud perturbation):
+
+    * ``d_j = 1.2 + 0.06 j`` — well-separated real parts above the bulk
+      (which lies within ``coupling`` of [0, 1]),
+    * ``w_j = omega * (1 + 0.25 j)`` — distinct rotation rates so no two
+      pairs collide in the complex plane.
+
+    A largest-real-part request therefore returns ONLY genuinely complex
+    pairs, which the real work dtype must carry as Schur 2x2 blocks.
+    Returns CSR, real dtype.
+    """
+    base = random_scattered(n, nnz_per_row, coupling=coupling, seed=seed,
+                            bandwidth=bandwidth, block=block, dtype=None)
+    assert 2 * n_pairs <= min(10, n), \
+        "pairs are carved from random_scattered's 10 diagonal outliers"
+    d = base.diagonal()
+    rows, cols, vals = [], [], []
+    for j in range(n_pairs):
+        i = n - 2 * (j + 1)
+        dj = 1.2 + 0.06 * j
+        wj = omega * (1.0 + 0.25 * j)
+        rows += [i, i + 1, i, i + 1]
+        cols += [i, i + 1, i + 1, i]
+        vals += [dj - d[i], dj - d[i + 1], -wj, wj]
+    R = sp.coo_matrix((np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+                      shape=(n, n))
+    A = sp.csr_matrix(base + R)
+    if dtype is not None:
+        A = A.astype(dtype)
+    A.sum_duplicates()
+    return A

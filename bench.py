@@ -164,6 +164,30 @@ def arpack_per_iter(op_scipy, max_dim=80, budget_matvecs=600):
     return elapsed / max(counter.n_matvecs, 1), counter.n_matvecs
 
 
+#: Peak HBM bandwidth per chip for the roofline fraction, bytes/s.
+#: v5e: 819 GB/s (public spec).  The roofline model for the block-b hot
+#: loop (see CLAUDE.md / ops/pallas/ortho_fused.py): per matvec the CGS2
+#: orthogonalization makes 4 streaming passes (2 projection + 2 update —
+#: CGS2's minimum) over the ACTIVE basis, amortized over the b vectors of
+#: a block, plus the SpMV's matrix + vector traffic.  The active basis
+#: averages (m+1)/2 rows over an expansion from 0 to m.
+_HBM_PEAK = {"v5e": 819e9, "v5litepod": 819e9}
+
+
+def _roofline_fraction(per_matvec_s, n, nnz, max_dim, b, dtype_bytes=4):
+    """Fraction of HBM speed-of-light the measured hot loop achieves.
+
+    Model bytes per matvec = 4 basis passes over the average active basis
+    ((max_dim+1)/2 rows of n) / block size + SpMV traffic (matrix data +
+    x read + y write).  DIA index bookkeeping and the H/scalar traffic
+    are negligible and excluded, so the fraction is slightly conservative.
+    """
+    basis = 4 * 0.5 * (max_dim + 1) * n * dtype_bytes / b
+    spmv = nnz * dtype_bytes + 2 * n * dtype_bytes
+    bw = _HBM_PEAK["v5e"]
+    return (basis + spmv) / per_matvec_s / bw
+
+
 def main_hot_loop():
     import jax
 
@@ -171,9 +195,18 @@ def main_hot_loop():
     gate = correctness_gate(on_tpu)
 
     n_grid = int(os.environ.get("BENCH_GRID", "724"))
-    blk = int(os.environ.get("BENCH_BLOCK", "4"))
+    # Headline block size: 8 (adopted round 5 — measured fastest on-chip;
+    # block-4 was within a few % in round 3/4, both saturate on SpMV +
+    # CholQR overhead rather than basis reads; see the r05 bench JSON's
+    # alt_block fields for the concurrent block-4 measurement).
+    blk = int(os.environ.get("BENCH_BLOCK", "8"))
     op, scalar_per_iter, ctx = hot_loop(on_tpu, n_grid=n_grid, b=1)
     _, block_per_iter, bctx = hot_loop(on_tpu, n_grid=n_grid, b=blk)
+    # The runner-up block size rides along (measured adjacent in time so
+    # the pair shares the box's throughput phase): the block-4 vs block-8
+    # question stays settled by data in every bench record.
+    alt = int(os.environ.get("BENCH_ALT_BLOCK", "4" if blk == 8 else "8"))
+    _, alt_per_iter, _ = hot_loop(on_tpu, n_grid=n_grid, b=alt)
 
     import scipy.sparse as sp
 
@@ -185,6 +218,10 @@ def main_hot_loop():
     # Primary: the block hot loop — cost per matvec+orthogonalization unit
     # in block-b Krylov expansion (the framework's flagship throughput path)
     # vs ARPACK's single-vector per-iteration cost on the host.
+    roof = (_roofline_fraction(block_per_iter, ctx["n"], ctx["nnz"],
+                               ctx["max_dim"], blk) if on_tpu else None)
+    roof_scalar = (_roofline_fraction(scalar_per_iter, ctx["n"], ctx["nnz"],
+                                      ctx["max_dim"], 1) if on_tpu else None)
     print(json.dumps({
         "metric": f"arnoldi_hot_loop_ms_per_matvec_block{blk}",
         "value": round(block_per_iter * 1e3, 4),
@@ -196,6 +233,10 @@ def main_hot_loop():
         "scalar_ms_per_matvec": round(scalar_per_iter * 1e3, 4),
         "scalar_vs_arpack": round(arpack_it / scalar_per_iter, 4),
         "block_nnz_per_s": round(bctx["nnz_per_s"], 0),
+        f"alt_block{alt}_ms_per_matvec": round(alt_per_iter * 1e3, 4),
+        "hbm_roofline_frac": (round(roof, 4) if roof is not None else None),
+        "hbm_roofline_frac_scalar": (round(roof_scalar, 4)
+                                     if roof_scalar is not None else None),
         **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in ctx.items()},
         **gate,
@@ -378,6 +419,174 @@ def main_scattered(n=1 << 20):
                               if transfer_s is not None else None),
         "wall_less_transfer_s": (round(ours_s - transfer_s, 4)
                                  if transfer_s is not None else None),
+        # Full phase breakdown (ARNOLDI_PHASES stopwatch) of the TIMED
+        # solve: where every non-matvec second goes — the overhead audit
+        # the 4M-row artifact needs (VERDICT r04 weak #2).
+        "phases": {k: round(v.get("seconds", 0.0), 4)
+                   for k, v in (hist.phases or {}).items()},
+    }))
+
+
+def main_complex_pairs(n=1 << 20):
+    """Large nonsymmetric solve whose DOMINANT eigenvalues are complex
+    conjugate pairs (``python bench.py complexpairs [n]``): the real-Schur
+    2x2-block path at scale — the mode the reference xfails
+    (``src/arnoldi/utils.py:64-65``) running as a production path on TPU
+    (f32 + double-word refinement), gated against ARPACK."""
+    import jax
+
+    from arnoldi_tpu import partial_schur
+    from arnoldi_tpu.matrices import random_scattered_complex_pairs
+    from arnoldi_tpu.utils.sorting import arg_largest_real
+
+    k = 6  # three full conjugate pairs
+    bw_env = os.environ.get("BENCH_SCATTER_BW", "")
+    bandwidth = (None if bw_env == "0"
+                 else (int(bw_env) if bw_env else max(n // 64, 8)))
+    A = random_scattered_complex_pairs(n, 24, seed=1, bandwidth=bandwidth,
+                                       block=8 if bw_env != "0" else None)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = np.float32 if on_tpu else np.float64
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
+    max_dim = int(os.environ.get("BENCH_MAX_DIM", "40"))
+
+    from arnoldi_tpu.linop import as_operator
+    from arnoldi_tpu.solvers.refine import (build_cast_residual_operator,
+                                            cast_operator_f32)
+
+    op = cast_operator_f32(as_operator(A)) if on_tpu else as_operator(A)
+    op_lo = build_cast_residual_operator(A, op) if on_tpu else None
+    kwargs = dict(max_dim=max_dim, stopping_criterion=tol,
+                  sort_function=arg_largest_real, max_restarts=2000,
+                  dtype=dtype, ortho="cgs2", key=jax.random.key(0),
+                  refine_op_lo=op_lo)
+
+    os.environ.setdefault("ARNOLDI_PHASES", "1")
+    partial_schur(op, k, **kwargs)            # warm (compile)
+    kwargs["key"] = jax.random.key(1)         # defeat terminal replay cache
+    t0 = time.perf_counter()
+    Q, T, hist = partial_schur(op, k, **kwargs)
+    jax.block_until_ready(Q)
+    ours_s = time.perf_counter() - t0
+
+    Qh, Th = np.asarray(Q, np.float64), np.asarray(T, np.float64)
+    schur_res = np.linalg.norm(A @ Qh - Qh @ Th, axis=0)
+    vals = np.linalg.eigvals(Th)
+    schur_rel = schur_res / np.abs(vals).max()
+
+    from scipy.sparse.linalg import eigs
+
+    from arnoldi_tpu.harness.suite import MatvecCounter
+
+    counter = MatvecCounter(A)
+    t0 = time.perf_counter()
+    r_vals, _ = eigs(counter, k, which="LR", tol=tol, ncv=max_dim)
+    arpack_s = time.perf_counter() - t0
+
+    from scipy.optimize import linear_sum_assignment
+
+    kk = min(len(vals), len(r_vals))
+    cost = np.abs(vals[:, None] - r_vals[None, :])
+    ri, ci = linear_sum_assignment(cost)
+    match_err = float(np.abs(vals[ri[:kk]] - r_vals[ci[:kk]]).max())
+    # The whole point: the wanted spectrum is GENUINELY complex — every
+    # returned value must carry a non-trivial imaginary part (the 2x2
+    # blocks in T are real; their eigenvalues are the conjugate pairs).
+    min_imag = float(np.abs(vals.imag).min())
+
+    transfer_s = (hist.phases or {}).get("dw.q_out_pull", {}).get("seconds")
+    print(json.dumps({
+        "metric": f"partial_schur_complex_pairs_n{n}_k{k}_LR_wall",
+        "bandwidth": bandwidth,
+        "value": round(ours_s, 4),
+        "unit": "s",
+        "vs_baseline": round(arpack_s / ours_s, 4),
+        "n": int(A.shape[0]),
+        "nnz": int(A.nnz),
+        "device": jax.devices()[0].platform,
+        "dtype": str(np.dtype(dtype)),
+        "tol": tol,
+        "matvecs": int(hist.total_matvecs),
+        "restarts": int(hist.restarts.max()),
+        "nev_returned": int(Th.shape[0]),
+        "max_schur_residual": float(schur_rel.max()),
+        "min_abs_imag": min_imag,
+        "all_complex": bool(min_imag > 1e-3),
+        "arpack_seconds": round(arpack_s, 4),
+        "arpack_matvecs": int(counter.n_matvecs),
+        "eigval_match_err": match_err,
+        "output_transfer_s": (round(transfer_s, 4)
+                              if transfer_s is not None else None),
+        "phases": {kq: round(vq.get("seconds", 0.0), 4)
+                   for kq, vq in (hist.phases or {}).items()},
+    }))
+
+
+def main_svds(n=1 << 20):
+    """``svds`` at scale (``python bench.py svds [n]``): K=6 largest
+    singular triplets of a >=1M-row scattered matrix vs
+    scipy.sparse.linalg.svds — the extension surface carrying the same
+    scale evidence as the core (VERDICT r04 #9).  TPU path: f32 Gram
+    Lanczos + double-word refinement to 1e-8."""
+    import jax
+
+    from arnoldi_tpu import svds as svds_tpu
+    from arnoldi_tpu.matrices import random_scattered
+
+    k = 6
+    bw_env = os.environ.get("BENCH_SCATTER_BW", "")
+    bandwidth = (None if bw_env == "0"
+                 else (int(bw_env) if bw_env else max(n // 64, 8)))
+    A = random_scattered(n, 24, seed=1, bandwidth=bandwidth,
+                         block=8 if bw_env != "0" else None)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = np.float32 if on_tpu else np.float64
+    tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
+    ncv = int(os.environ.get("BENCH_MAX_DIM", "40"))
+
+    kwargs = dict(which="LM", tol=tol, ncv=ncv, maxiter=2000, dtype=dtype,
+                  key=jax.random.key(0))
+    os.environ.setdefault("ARNOLDI_PHASES", "1")
+    svds_tpu(A, k, **kwargs)                  # warm (compile)
+    kwargs["key"] = jax.random.key(1)         # defeat terminal replay cache
+    t0 = time.perf_counter()
+    U, s, Vh = svds_tpu(A, k, **kwargs)
+    jax.block_until_ready(s)
+    ours_s = time.perf_counter() - t0
+
+    Uh = np.asarray(U, np.float64)
+    Vhh = np.asarray(Vh, np.float64)
+    sh = np.asarray(s, np.float64)
+    # True residuals of the returned triplets: ||A v - s u|| / s.
+    res = np.linalg.norm(A @ Vhh.T - Uh * sh[None, :], axis=0) / sh
+
+    from scipy.sparse.linalg import svds as svds_scipy
+
+    from arnoldi_tpu.harness.suite import MatvecCounter
+
+    counter = MatvecCounter(A)
+    t0 = time.perf_counter()
+    _, s_ref, _ = svds_scipy(counter, k=k, which="LM", tol=tol)
+    arpack_s = time.perf_counter() - t0
+
+    match_err = float(np.abs(np.sort(sh) - np.sort(s_ref)).max()
+                      / np.abs(s_ref).max())
+    print(json.dumps({
+        "metric": f"svds_scattered_n{n}_k{k}_LM_wall",
+        "bandwidth": bandwidth,
+        "value": round(ours_s, 4),
+        "unit": "s",
+        "vs_baseline": round(arpack_s / ours_s, 4),
+        "n": int(A.shape[0]),
+        "nnz": int(A.nnz),
+        "device": jax.devices()[0].platform,
+        "dtype": str(np.dtype(dtype)),
+        "tol": tol,
+        "singular_values": [round(float(x), 10) for x in np.sort(sh)[::-1]],
+        "max_residual": float(res.max()),
+        "scipy_seconds": round(arpack_s, 4),
+        "scipy_matvecs": int(counter.n_matvecs),
+        "sv_match_relerr": match_err,
     }))
 
 
@@ -480,5 +689,9 @@ if __name__ == "__main__":
         main_scattered(int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20)
     elif len(sys.argv) > 1 and sys.argv[1] == "interior":
         main_interior(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+    elif len(sys.argv) > 1 and sys.argv[1] == "complexpairs":
+        main_complex_pairs(int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20)
+    elif len(sys.argv) > 1 and sys.argv[1] == "svds":
+        main_svds(int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20)
     else:
         main_hot_loop()

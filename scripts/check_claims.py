@@ -23,20 +23,22 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def load_ratios(csv_path):
-    """Per-config (matvec_ratio, elapsed_ratio) of krylov-schur vs arpack."""
+def load_ratios(csv_path, against="arpack"):
+    """Per-config (matvec_ratio, elapsed_ratio) of krylov-schur vs
+    ``against`` (arpack, or arnoldi-py-ref — the reference implementation
+    itself, run as a harness method since r05)."""
     rows = {}
     with open(csv_path, newline="") as f:
         for r in csv.DictReader(f):
-            if r["method"] not in ("krylov-schur", "arpack"):
+            if r["method"] not in ("krylov-schur", against):
                 continue
             key = (int(r["nev"]), int(r["ncv"]), r["which"])
             rows.setdefault(key, {})[r["method"]] = r
     mv, el = {}, {}
     for key, pair in sorted(rows.items()):
-        if "krylov-schur" not in pair or "arpack" not in pair:
+        if "krylov-schur" not in pair or against not in pair:
             continue
-        ks, ar = pair["krylov-schur"], pair["arpack"]
+        ks, ar = pair["krylov-schur"], pair[against]
         if float(ks["elapsed"]) < 0 or float(ar["elapsed"]) < 0:
             continue  # recorded failure rows
         mv[key] = int(ks["matvecs"]) / int(ar["matvecs"])
@@ -61,7 +63,16 @@ def main(argv=None):
             print("no stress artifact found", file=sys.stderr)
             return 2
         csv_path = Path(cands[-1])
-    mv, el = load_ratios(csv_path)
+    # The krylov-schur-vs-ARPACK headline numbers come from the ISOLATED
+    # 2-method control sweep when present: co-residency with the
+    # complex128 reference method in one process inflates the following
+    # method's elapsed ~1.3x (r05 measurement; the 3-method CSV is kept
+    # for the reference head-to-head, whose ratios share the inflation
+    # fairly).
+    iso_path = Path(str(csv_path).replace("stress-mark100_",
+                                          "stress-mark100-iso_"))
+    arpack_path = iso_path if iso_path.exists() else csv_path
+    mv, el = load_ratios(arpack_path)
     if not mv:
         print(f"{csv_path}: no comparable rows", file=sys.stderr)
         return 2
@@ -80,7 +91,7 @@ def main(argv=None):
         "elapsed range": f"{el_lo:.1f}-{el_hi:.1f}x",
         "elapsed median": f"{el_med:.1f}x",
     }
-    print(f"artifact: {csv_path}")
+    print(f"artifact (vs ARPACK): {arpack_path}")
     for k, v in computed.items():
         print(f"  {k}: {v}")
 
@@ -101,6 +112,31 @@ def main(argv=None):
            rf"{el_lo:.1f}-{el_hi:.1f}x ARPACK")
     expect("elapsed median",
            rf"median {el_med:.1f}x")
+
+    # Reference-implementation head-to-head (r05+): the same CSV carries
+    # arnoldi-py-ref rows; the README quotes the elapsed/matvec medians
+    # and the worst elapsed ratio on BOTH grids.
+    for path, tag in [(csv_path, "adaptive"),
+                      (Path(str(csv_path).replace("stress-mark100_",
+                                                  "stress-mark100-refgrid_")),
+                       "ref-fixed-p")]:
+        if not path.exists():
+            continue
+        mv_r, el_r = load_ratios(path, against="arnoldi-py-ref")
+        if not mv_r:
+            continue
+        med_e, max_e = median(el_r.values()), max(el_r.values())
+        med_m, max_m = median(mv_r.values()), max(mv_r.values())
+        min_e = min(el_r.values())
+        print(f"  vs reference ({tag}): elapsed median {med_e:.2f}x "
+              f"range {min_e:.2f}-{max_e:.2f}x; matvecs median {med_m:.2f} "
+              f"max {max_m:.2f}")
+        expect(f"ref elapsed median+range ({tag})",
+               rf"median {med_e:.2f}x \(range {min_e:.2f}-{max_e:.2f}x\)")
+        if max_e >= 1.0:
+            failures.append(
+                f"ref head-to-head ({tag}): a krylov-schur row is not "
+                f"faster than the reference (max ratio {max_e:.2f})")
 
     if failures:
         print("\nCLAIM DRIFT — README does not reproduce from the artifact:",

@@ -132,3 +132,38 @@ def test_slepc_gracefully_unavailable():
     with pytest.raises(ImportError, match="petsc4py/slepc4py"):
         slepc.slepc_eig(matrix_from_spec("mark:10"),
                         EigensolverParameters(nev=2))
+
+
+def test_reference_implementation_method():
+    """The reference implementation itself runs as a harness method
+    (arnoldi-py-ref) from a shared v0 and agrees with ARPACK and with this
+    framework's driver."""
+    from arnoldi_tpu.harness.suite import (_reference_package,
+                                           arnoldi_py_ref_eig, arpack_eig,
+                                           arnoldi_tpu_eig,
+                                           eigenvalues_match)
+    from arnoldi_tpu.utils.random import rand_normalized_vector
+    import arnoldi_tpu.harness.suite as suite_mod
+
+    if _reference_package() is None:
+        pytest.skip("reference package not importable")
+    import jax
+
+    A = matrix_from_spec("mark:20")
+    params = EigensolverParameters(nev=4, ncv=16, tol=1e-8,
+                                   max_restarts=10_000, which="LR")
+    v0 = np.asarray(rand_normalized_vector(jax.random.key(0), A.shape[0],
+                                           np.float64))
+    vals_ref, vecs_ref, st = arnoldi_py_ref_eig(A, params, v0=v0)
+    assert st.matvecs > 0 and st.elapsed > 0
+    res = np.linalg.norm(A @ vecs_ref - vals_ref * vecs_ref, axis=0)
+    assert res.max() < 1e-6
+    vals_arp, _, _ = arpack_eig(A, params, v0=v0)
+    assert eigenvalues_match(vals_ref, vals_arp, "LR")
+    vals_ours, _, _ = arnoldi_tpu_eig(A, params, key=jax.random.key(0))
+    assert eigenvalues_match(vals_ours, vals_ref, "LR")
+    # the monkeypatched start-vector hook must be restored
+    import arnoldi.krylov_schur as ref_ks
+    import arnoldi.utils as ref_utils
+
+    assert ref_ks.rand_normalized_vector is ref_utils.rand_normalized_vector

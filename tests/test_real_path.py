@@ -151,3 +151,49 @@ class TestRealPartialSchur:
         vecs = np.asarray(vecs)
         res = norm(A @ vecs - vals * vecs, axis=0)
         np.testing.assert_allclose(res, 0, atol=1e-6)
+
+
+class TestComplexPairsGenerator:
+    """random_scattered_complex_pairs: the at-scale complex-pair workload
+    (bench.py complexpairs) in miniature — the dominant spectrum must be
+    genuinely complex and the real-Schur path must recover it."""
+
+    def test_dominant_spectrum_is_complex_pairs(self):
+        from arnoldi_tpu.matrices import random_scattered_complex_pairs
+
+        n = 600
+        A = random_scattered_complex_pairs(n, 8, coupling=0.02, omega=0.3,
+                                           seed=3, bandwidth=64)
+        assert not np.iscomplexobj(A.data)
+        vals = np.linalg.eigvals(A.toarray())
+        top = vals[np.argsort(-vals.real)[:6]]
+        # the three LARGEST-real conjugate pairs: d_j +/- i w_j for
+        # j = 4, 3, 2 (d_j = 1.2 + 0.06j ascending), up to O(coupling)
+        want = np.array([1.44 + 0.60j, 1.44 - 0.60j, 1.38 + 0.525j,
+                         1.38 - 0.525j, 1.32 + 0.45j, 1.32 - 0.45j])
+        a, b = find_best_matching(np.sort_complex(top),
+                                  np.sort_complex(want))
+        np.testing.assert_allclose(a, b, atol=0.05)
+        assert np.abs(top.imag).min() > 0.25
+
+    def test_partial_schur_real_path_recovers_pairs(self):
+        from arnoldi_tpu.matrices import random_scattered_complex_pairs
+
+        n = 600
+        A = random_scattered_complex_pairs(n, 8, coupling=0.02, omega=0.3,
+                                           seed=3, bandwidth=64)
+        Q, T, hist = partial_schur(
+            A, 6, max_dim=30, stopping_criterion=1e-9,
+            sort_function=arg_largest_real, max_restarts=2000,
+            dtype=np.float64, key=jax.random.key(0))
+        Qh, Th = np.asarray(Q), np.asarray(T)
+        assert not np.iscomplexobj(Th)      # real Schur form, 2x2 blocks
+        res = np.linalg.norm(A @ Qh - Qh @ Th, axis=0)
+        assert res.max() < 1e-7
+        vals = np.linalg.eigvals(Th)
+        assert np.abs(vals.imag).min() > 0.25   # every returned value complex
+        ref = np.linalg.eigvals(A.toarray())
+        ref_top = ref[np.argsort(-ref.real)[:len(vals)]]
+        a, b = find_best_matching(np.sort_complex(vals),
+                                  np.sort_complex(ref_top))
+        np.testing.assert_allclose(a, b, atol=1e-7)
