@@ -370,46 +370,6 @@ def partial_schur(
         op = pad_operator(op, n_solve)
         repl = replicated_sharding(mesh)
 
-    # Transposed workspace: basis vectors are contiguous rows (the
-    # reference's F-order lever, ~1.8x per-iteration on TPU).
-    if host_tier:
-        V = np.zeros((max_dim + b, n_solve), dtype=wdtype)
-        H = np.zeros((max_dim + b, max_dim), dtype=wdtype)
-        # Second workspace for the double-buffered truncation (see
-        # _host_truncate); np.empty costs nothing until touched.
-        V_alt = np.empty_like(V)
-    else:
-        V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
-        H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
-
-    if mesh is not None:
-        from ..parallel.sharded import shard_operator, shard_workspace
-
-        op = shard_operator(op, mesh)
-        V, H = shard_workspace(V, H, mesh)
-
-    if v0 is None:
-        if key is None:
-            key = jax.random.key(0)
-        v0 = rand_normalized_vector(key, n, wdtype)
-    else:
-        v0 = jnp.asarray(v0, dtype=wdtype)
-        v0 = v0 / jnp.linalg.norm(v0)
-    if n_solve != n:
-        v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
-    if host_tier:
-        V[0, :] = np.asarray(v0)
-    else:
-        V = V.at[0, :].set(v0)
-    if b > 1:
-        from ..ops.ortho import block_cgs2
-
-        key2 = jax.random.key(0) if key is None else jax.random.split(key)[1]
-        extra = jax.random.normal(key2, (b - 1, n_solve), dtype=wdtype)
-        W0 = jnp.concatenate([v0[None, :], extra], axis=0)
-        _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
-        V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
-
     from ..utils.profiling import phase_clock
 
     history = History.from_k(nev)
@@ -418,6 +378,51 @@ def partial_schur(
     # a remote-tunnel device this is the tool that separates device compute
     # from transfer/latency overhead.
     clock = phase_clock()
+
+    # Transposed workspace: basis vectors are contiguous rows (the
+    # reference's F-order lever, ~1.8x per-iteration on TPU).  The eager
+    # setup ops below (workspace zeros, keyed start vector, .at[0].set)
+    # are each a separate device dispatch — through a remote tunnel that
+    # is several ~100 ms round trips, so the phase clock covers them.
+    with clock("f32.workspace_setup"):
+        if host_tier:
+            V = np.zeros((max_dim + b, n_solve), dtype=wdtype)
+            H = np.zeros((max_dim + b, max_dim), dtype=wdtype)
+            # Second workspace for the double-buffered truncation (see
+            # _host_truncate); np.empty costs nothing until touched.
+            V_alt = np.empty_like(V)
+        else:
+            V = jnp.zeros((max_dim + b, n_solve), dtype=wdtype)
+            H = jnp.zeros((max_dim + b, max_dim), dtype=wdtype)
+
+        if mesh is not None:
+            from ..parallel.sharded import shard_operator, shard_workspace
+
+            op = shard_operator(op, mesh)
+            V, H = shard_workspace(V, H, mesh)
+
+        if v0 is None:
+            if key is None:
+                key = jax.random.key(0)
+            v0 = rand_normalized_vector(key, n, wdtype)
+        else:
+            v0 = jnp.asarray(v0, dtype=wdtype)
+            v0 = v0 / jnp.linalg.norm(v0)
+        if n_solve != n:
+            v0 = jnp.concatenate([v0, jnp.zeros(n_solve - n, wdtype)])
+        if host_tier:
+            V[0, :] = np.asarray(v0)
+        else:
+            V = V.at[0, :].set(v0)
+        if b > 1:
+            from ..ops.ortho import block_cgs2
+
+            key2 = jax.random.key(0) if key is None else jax.random.split(key)[1]
+            extra = jax.random.normal(key2, (b - 1, n_solve), dtype=wdtype)
+            W0 = jnp.concatenate([v0[None, :], extra], axis=0)
+            _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
+            V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
+
     has_converged = False
     total_matvecs = 0
 
