@@ -26,6 +26,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _check_padded_layout(kind, padded_elems, stored_elems, L, degrees):
+    """Refuse to build a padded static-shape layout whose zero-fill would
+    dwarf the data.  ELL/BSR pad every row to the MAX row degree; a matrix
+    with a few super-dense rows (e.g. the transpose of a generator that
+    clips columns onto a boundary, or a graph with hub nodes) makes the
+    padded array orders of magnitude larger than nnz — observed 34.8 GiB
+    for a 105 MB matrix (r05: ``random_scattered(edge='clip')``'s adjoint,
+    max block-row degree 1113 vs mean 3).  Raising here turns a host OOM
+    kill into an actionable error; callers that can proceed without the
+    device format (e.g. the svds Gram refinement companion) catch it.
+    """
+    # generous: padding below 8x the data, or small in absolute terms,
+    # is always accepted
+    if padded_elems <= max(8 * max(stored_elems, 1), 1 << 24):
+        return
+    mean_deg = float(np.mean(degrees)) if len(degrees) else 0.0
+    raise ValueError(
+        f"{kind} layout would allocate {padded_elems:,} elements "
+        f"({padded_elems * 4 / 1e9:.1f}+ GB) for {stored_elems:,} stored — "
+        f"max row degree {L} vs mean {mean_deg:.1f}.  The padded "
+        f"static-shape layout is built for bounded-degree sparsity; "
+        "rebalance the matrix (e.g. random_scattered(edge='reflect')) or "
+        "use a host/CSR path for this operator")
+
+
 def _result_dtype(op_dtype, x_dtype):
     return jnp.result_type(op_dtype, x_dtype)
 
@@ -127,6 +152,7 @@ class EllOperator:
         n = A.shape[0]
         degrees = np.diff(A.indptr)
         L = max(int(degrees.max(initial=0)), 1)
+        _check_padded_layout("ELL", n * L, A.nnz, L, degrees)
         data = np.zeros((n, L), dtype=A.dtype)
         cols = np.zeros((n, L), dtype=np.int32)
         # Scatter each row's nonzeros into its padded slot.
@@ -317,6 +343,8 @@ class BsrOperator:
         n_brow = B.indptr.shape[0] - 1
         degrees = np.diff(B.indptr)
         L = max(int(degrees.max(initial=0)), 1)
+        _check_padded_layout("BSR", n_brow * L * r * c,
+                             B.data.size, L, degrees)
         blocks = np.zeros((n_brow, L, r, c), dtype=B.data.dtype)
         cols = np.zeros((n_brow, L), dtype=np.int32)
         row_ids = np.repeat(np.arange(n_brow), degrees)

@@ -166,8 +166,25 @@ def load_matrix_market(path, dtype=None):
     return A
 
 
+def _fold_into(x, limit, edge):
+    """Map out-of-range indices into ``[0, limit)``: ``clip`` saturates at
+    the boundary (historic default — NOTE it concentrates all out-of-band
+    draws onto the first/last index, so the matrix's TRANSPOSE gets two
+    super-dense rows; padded device layouts built on A^T then explode),
+    ``reflect`` mirrors back inside (uniform row AND column occupancy —
+    the realistic FE profile, and the right choice for adjoint-using
+    workloads like svds)."""
+    if edge == "clip":
+        return np.clip(x, 0, limit - 1)
+    if edge == "reflect":
+        x = np.abs(x)
+        return np.where(x > limit - 1, 2 * (limit - 1) - x, x)
+    raise ValueError(f"edge={edge!r}: expected 'clip' or 'reflect'")
+
+
 def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
-                     bandwidth=None, block=None, dtype=np.float64):
+                     bandwidth=None, block=None, dtype=np.float64,
+                     edge="clip"):
     """Large random SCATTERED-sparsity test matrix with a controlled
     spectrum (the SuiteSparse stand-in for the zero-egress benchmark
     environment; the reference's corpus fetcher
@@ -212,7 +229,7 @@ def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
             bwb = max(int(bandwidth) // b, 1)
             delta = rng.integers(-bwb, bwb + 1, size=nb * bpb,
                                  dtype=np.int64)
-            bcols = np.clip(brows + delta, 0, nb - 1)
+            bcols = _fold_into(brows + delta, nb, edge)
         rows = (brows[:, None, None] * b
                 + np.arange(b)[None, :, None]).repeat(b, axis=2).reshape(-1)
         cols = (bcols[:, None, None] * b
@@ -225,7 +242,7 @@ def random_scattered(n, nnz_per_row=8, *, coupling=0.1, seed=0,
             bw = int(bandwidth)
             delta = rng.integers(-bw, bw + 1, size=n * nnz_per_row,
                                  dtype=np.int64)
-            cols = np.clip(rows + delta, 0, n - 1)
+            cols = _fold_into(rows + delta, n, edge)
     # scale so each row's off-diagonal absolute sum ~= coupling
     vals = rng.uniform(-1.0, 1.0, size=rows.shape[0])
     vals *= coupling / nnz_per_row * 2.0

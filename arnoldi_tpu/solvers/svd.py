@@ -167,7 +167,21 @@ def _gram_dw(A_src, op, transposed):
         At = np.ascontiguousarray(A_src.conj().T)
     else:
         return None
-    opT = as_operator(At, dtype=np.float32)
+    try:
+        opT = as_operator(At, dtype=np.float32)
+    except ValueError as e:
+        # The adjoint can be unbuildable in any padded device format even
+        # when A itself is fine (a few super-dense COLUMNS of A become
+        # super-dense ROWS of A^H — linop._check_padded_layout).  Without
+        # the companion the f32 Gram is the refinement target; warn so a
+        # tol below the f32 floor fails loudly for a known reason.
+        import warnings
+
+        warnings.warn(
+            "svds: no device layout for the adjoint operator — double-word "
+            f"refinement disabled, f32-floor accuracy only ({e})",
+            RuntimeWarning, stacklevel=3)
+        return None
     lo = build_cast_residual_operator(A_src, op)
     loT = build_cast_residual_operator(At, opT)
 

@@ -540,8 +540,13 @@ def main_svds(n=1 << 20):
     bw_env = os.environ.get("BENCH_SCATTER_BW", "")
     bandwidth = (None if bw_env == "0"
                  else (int(bw_env) if bw_env else max(n // 64, 8)))
+    # edge="reflect": svds works through A AND A^H — the historic "clip"
+    # edge concentrates out-of-band columns on the boundary, whose adjoint
+    # has two super-dense rows no padded device layout can carry
+    # (linop._check_padded_layout).  Reflection keeps both sides
+    # bounded-degree (and is the realistic FE profile).
     A = random_scattered(n, 24, seed=1, bandwidth=bandwidth,
-                         block=8 if bw_env != "0" else None)
+                         block=8 if bw_env != "0" else None, edge="reflect")
     on_tpu = jax.default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))

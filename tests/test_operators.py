@@ -131,3 +131,48 @@ class TestBsrOperator:
         Qh, Th = np.asarray(Q), np.asarray(T)
         res = np.linalg.norm(mark(30).todense() @ Qh - Qh @ Th, axis=0)
         np.testing.assert_allclose(res, 0, atol=1e-8)
+
+
+def test_padded_layout_guard_and_reflect_edge():
+    """A matrix with a few super-dense rows must be REFUSED by the padded
+    ELL/BSR builders (r05: the clip-edge generator's adjoint OOM-killed the
+    host at 34.8 GiB) — and the reflect-edge generator must stay buildable
+    on BOTH sides."""
+    import pytest
+    import scipy.sparse as sp
+
+    from arnoldi_tpu.linop import EllOperator, BsrOperator
+    from arnoldi_tpu.matrices import random_scattered
+
+    n = 4096
+    A = random_scattered(n, 8, seed=2, bandwidth=n // 4, edge="clip")
+    At = sp.csr_matrix(A).T.tocsr()
+    deg = np.diff(At.indptr)
+    assert deg.max() > 40 * deg.mean()      # the clip pathology is real
+    with pytest.raises(ValueError, match="max row degree"):
+        # force past the absolute-size floor by scaling the guard's view:
+        # at this n the padded array is small, so call the check directly
+        from arnoldi_tpu.linop import _check_padded_layout
+
+        _check_padded_layout("ELL", n * int(deg.max()) * (1 << 14),
+                             At.nnz * (1 << 14), int(deg.max()), deg)
+
+    B = random_scattered(n, 8, seed=2, bandwidth=n // 4, edge="reflect")
+    Bt = sp.csr_matrix(B).T.tocsr()
+    degs = np.diff(Bt.indptr)
+    assert degs.max() <= 8 * max(degs.mean(), 1)  # adjoint stays bounded
+    # both sides build in padded formats without tripping the guard
+    EllOperator.from_scipy(Bt)
+    BsrOperator.from_scipy(Bt, blocksize=(8, 8))
+
+
+def test_random_scattered_reflect_same_spectral_profile():
+    """edge='reflect' keeps the generator's contract: dominant separated
+    outliers, bulk within coupling of [0, 1]."""
+    from arnoldi_tpu.matrices import random_scattered
+
+    A = random_scattered(800, 8, seed=5, bandwidth=64, edge="reflect")
+    vals = np.linalg.eigvals(A.toarray())
+    top = np.sort(vals.real)[-10:]
+    np.testing.assert_allclose(np.sort(top), 1.2 + 0.05 * np.arange(10),
+                               atol=0.15)
