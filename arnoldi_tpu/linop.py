@@ -418,9 +418,137 @@ class CallableOperator:
         return cls(aux[0], aux[1], aux[2], aux[3], fn_dw=aux[4])
 
 
-#: Union type for documentation purposes.
+#: Union type for documentation purposes.  GramOperator is appended after
+#: its definition below (it composes the format operators).
 LinearOperator = (DenseOperator, EllOperator, BandedOperator, BsrOperator,
                   CallableOperator)
+
+
+def rmatvec(op, y):
+    """``A^H y`` for the format operators (dense/ELL/BSR/banded)."""
+    if isinstance(op, DenseOperator):
+        return jnp.matmul(op.A.conj().T, y, precision=_PREC)
+    if isinstance(op, EllOperator):
+        # scatter-add of y[r] * conj(data[r, l]) into cols[r, l]
+        n = op.shape[1]
+        contrib = (op.data.conj() * y[:, None]).reshape(-1)
+        idx = op.cols.reshape(-1)
+        return jnp.zeros(n, contrib.dtype).at[idx].add(contrib)
+    if isinstance(op, BsrOperator):
+        # Block scatter-add: x_block[cols[i,l]] += blocks[i,l]^H @ y_block[i]
+        r, c = op.blockshape
+        n_row_pad = op.blocks.shape[0] * r
+        yp = jnp.zeros(n_row_pad, y.dtype).at[: op.shape[0]].set(y)
+        yb = yp.reshape(-1, r)                       # (n_brow, r)
+        contrib = jnp.einsum("blrc,br->blc", op.blocks.conj(), yb,
+                             precision=_PREC)        # (n_brow, L, c)
+        n_bcol = -(-op.shape[1] // c)
+        out = jnp.zeros((n_bcol, c), contrib.dtype)
+        out = out.at[op.block_cols.reshape(-1)].add(contrib.reshape(-1, c))
+        return out.reshape(-1)[: op.shape[1]]
+    if isinstance(op, BandedOperator):
+        # (A^H y)[j] = sum_d conj(bands[d][j - off]) * y[j - off]
+        n = op.shape[0]
+        out = jnp.zeros(n, jnp.result_type(op.dtype, y.dtype))
+        for d, off in enumerate(op.offsets):
+            prod = op.bands[d].conj() * y
+            if off == 0:
+                out = out + prod
+            elif off > 0:
+                out = out.at[off:].add(prod[:-off])
+            else:
+                out = out.at[:off].add(prod[-off:])
+        return out
+    raise TypeError(
+        f"adjoint matvec not implemented for {type(op).__name__}; "
+        "wrap A with a CallableOperator providing the Gram matvec directly")
+
+
+def rmatmat(op, Y):
+    """``A^H Y`` column-wise."""
+    if isinstance(op, DenseOperator):
+        return jnp.matmul(op.A.conj().T, Y, precision=_PREC)
+    return jax.vmap(lambda y: rmatvec(op, y), in_axes=1, out_axes=1)(Y)
+
+
+@jax.tree_util.register_pytree_node_class
+class GramOperator:
+    """``A^H A`` (or ``A A^H`` when ``transposed``) as a FIRST-CLASS
+    pytree operator over a format operator.
+
+    The factor operators are pytree CHILDREN, so under ``jit`` their
+    arrays are traced ARGUMENTS.  The previous closure-based Gram
+    (``CallableOperator`` capturing the factors) embedded every captured
+    array as an HLO CONSTANT — at 1M rows x 24 nnz that is ~400 MB of
+    literals in the f32 program and ~4x that in the double-word one,
+    which the remote axon compiler could not swallow (r05: 30-minute
+    ``remote_compile`` then transport broken-pipe; locally it also costs
+    a constant-folding memory spike).
+
+    ``opT``/``lo``/``loT`` (optional) enable the double-word companion:
+    the materialized adjoint operator and the two cast-residual
+    operators (see ``solvers/svd.py::_gram_companions``).
+    """
+
+    def __init__(self, op, opT=None, lo=None, loT=None, *,
+                 transposed=False, nnz=None):
+        self.op = op
+        self.opT = opT
+        self.lo = lo
+        self.loT = loT
+        self.transposed = bool(transposed)
+        self._nnz = nnz if nnz is not None else op.nnz
+
+    @property
+    def shape(self):
+        d = self.op.shape[0] if self.transposed else self.op.shape[1]
+        return (d, d)
+
+    @property
+    def dtype(self):
+        return self.op.dtype
+
+    @property
+    def nnz(self):
+        return self._nnz
+
+    @property
+    def has_dw(self):
+        """True when the double-word companion legs are present."""
+        return self.opT is not None
+
+    def matvec(self, x):
+        if self.transposed:      # A A^H
+            return self.op.matvec(rmatvec(self.op, x))
+        return rmatvec(self.op, self.op.matvec(x))
+
+    def matmat(self, X):
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    def matvec_dw(self, xh, xl):
+        if self.opT is None:
+            raise TypeError(
+                "this GramOperator has no double-word companion (opT); "
+                "build it with the adjoint + cast-residual operators")
+        from .ops.df32_linop import dw_matvec
+
+        if self.transposed:      # A A^H
+            zh, zl = dw_matvec(self.opT, xh, xl, self.loT)
+            return dw_matvec(self.op, zh, zl, self.lo)
+        zh, zl = dw_matvec(self.op, xh, xl, self.lo)
+        return dw_matvec(self.opT, zh, zl, self.loT)
+
+    def tree_flatten(self):
+        return ((self.op, self.opT, self.lo, self.loT),
+                (self.transposed, self._nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        op, opT, lo, loT = children
+        return cls(op, opT, lo, loT, transposed=aux[0], nnz=aux[1])
+
+
+LinearOperator = LinearOperator + (GramOperator,)
 
 
 def pad_operator(op, n_pad):

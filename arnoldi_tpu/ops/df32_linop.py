@@ -138,13 +138,15 @@ def dw_matvec(op, xh, xl, op_lo=None):
     from ..linop import (BandedOperator, BsrOperator, CallableOperator,
                          DenseOperator, EllOperator)
 
-    if isinstance(op, CallableOperator):
-        # e.g. the halo-exchange dw closure (parallel/halo_spmv.py); any
-        # cast-residual correction is folded inside the closure, so a
+    if not isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
+                           EllOperator)) and hasattr(op, "matvec_dw"):
+        # Composite/closure operators carrying their own dw action: the
+        # halo-exchange closure (parallel/halo_spmv.py, a
+        # CallableOperator) and GramOperator (linop.py).  Any
+        # cast-residual correction is folded inside, so a
         # separately-supplied op_lo is not meaningful here.
         assert op_lo is None, (
-            "CallableOperator dw matvec folds its own op_lo; build the "
-            "closure with halo_matvec_closure(..., op_lo=...)")
+            f"{type(op).__name__} dw matvec folds its own op_lo")
         return op.matvec_dw(xh, xl)
 
     fused = False

@@ -320,7 +320,8 @@ def partial_eigh(
             and (isinstance(op, (BandedOperator, BsrOperator, DenseOperator,
                                  EllOperator))
                  or (isinstance(op, CallableOperator)
-                     and op.fn_dw is not None)))
+                     and op.fn_dw is not None)
+                 or getattr(op, "has_dw", False)))
     else:
         raise ValueError(f"refine={refine!r}: expected 'auto', 'dw' or None")
     if do_refine:

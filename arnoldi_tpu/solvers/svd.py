@@ -16,7 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..linop import CallableOperator, as_operator
+from ..linop import (CallableOperator, GramOperator, as_operator,
+                     rmatmat as _rmatmat, rmatvec as _rmatvec)
 
 __all__ = ["svds"]
 
@@ -55,21 +56,13 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
     n_rows, n_cols = op.shape
 
     # Lanczos runs on the Gram operator over the smaller dimension.
+    # GramOperator is a pytree (factor arrays are jit ARGUMENTS): a
+    # closure-based Gram would embed the operator data as HLO constants —
+    # hundreds of MB at 1M rows, which broke the remote compile (r05).
     transposed = n_rows < n_cols
-    if transposed:
-        gram_dim = n_rows
-
-        def gram_mv(x):
-            return op.matvec(_rmatvec(op, x))
-    else:
-        gram_dim = n_cols
-
-        def gram_mv(x):
-            return _rmatvec(op, op.matvec(x))
-
-    gram = CallableOperator(gram_mv, (gram_dim, gram_dim), op.dtype,
-                            nnz=op.nnz,
-                            fn_dw=_gram_dw(A, op, transposed))
+    gram_dim = n_rows if transposed else n_cols
+    companions = _gram_companions(A, op) or (None, None, None)
+    gram = GramOperator(op, *companions, transposed=transposed, nnz=op.nnz)
 
     from .lanczos import partial_eigh
 
@@ -141,22 +134,21 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
     return np.asarray(U), s, np.asarray(V).conj().T
 
 
-def _gram_dw(A_src, op, transposed):
-    """Double-word companion matvec for the Gram operator (``fn_dw``), so
-    ``partial_eigh``'s dw refinement can engage for ``svds`` tolerances
-    below the f32 floor.
+def _gram_companions(A_src, op):
+    """Companion operators enabling the Gram's double-word action
+    (``GramOperator.matvec_dw``), so ``partial_eigh``'s dw refinement can
+    engage for ``svds`` tolerances below the f32 floor.
 
     The adjoint leg is a MATERIALIZED ``A^H`` operator in a device format
     with its own cast residual (a compensated scatter-add adjoint per
     format would duplicate every df32 kernel; a host transpose is one
-    cheap conversion at build time).  Returns None when ``A_src`` carries
-    no exact f64 source (closure input) or the work dtype is not f32 —
-    then the f32 Gram is the exact target and refinement has nothing to
-    recover.
+    cheap conversion at build time).  Returns ``(opT, lo, loT)``, or None
+    when ``A_src`` carries no exact f64 source (closure input) or the
+    work dtype is not f32 — then the f32 Gram is the exact target and
+    refinement has nothing to recover.
     """
     import scipy.sparse as sp
 
-    from ..ops.df32_linop import dw_matvec
     from .refine import build_cast_residual_operator
 
     if np.dtype(op.dtype) != np.float32:
@@ -184,16 +176,7 @@ def _gram_dw(A_src, op, transposed):
         return None
     lo = build_cast_residual_operator(A_src, op)
     loT = build_cast_residual_operator(At, opT)
-
-    if transposed:  # gram = A A^H
-        def fn_dw(xh, xl):
-            zh, zl = dw_matvec(opT, xh, xl, loT)
-            return dw_matvec(op, zh, zl, lo)
-    else:           # gram = A^H A
-        def fn_dw(xh, xl):
-            zh, zl = dw_matvec(op, xh, xl, lo)
-            return dw_matvec(opT, zh, zl, loT)
-    return fn_dw
+    return opT, lo, loT
 
 
 def _renormalize(X):
@@ -203,56 +186,3 @@ def _renormalize(X):
     return X / jnp.where(norms == 0, 1.0, norms)[None, :]
 
 
-def _rmatvec(op, y):
-    """``A^H y`` for the framework operators (dense/ELL/BSR/banded; wrap
-    anything else in a CallableOperator providing the Gram matvec)."""
-    from ..linop import (BandedOperator, BsrOperator, DenseOperator,
-                         EllOperator)
-
-    if isinstance(op, DenseOperator):
-        return jnp.matmul(op.A.conj().T, y, precision=_PREC)
-    if isinstance(op, EllOperator):
-        # scatter-add of y[r] * conj(data[r, l]) into cols[r, l]
-        n = op.shape[1]
-        contrib = (op.data.conj() * y[:, None]).reshape(-1)
-        idx = op.cols.reshape(-1)
-        return jnp.zeros(n, contrib.dtype).at[idx].add(contrib)
-    if isinstance(op, BsrOperator):
-        # Block scatter-add: x_block[cols[i,l]] += blocks[i,l]^H @ y_block[i]
-        # (mirrors BsrOperator.matvec's block gather; auto-selected format
-        # on the TPU backend, linop.py as_operator).
-        r, c = op.blockshape
-        n_row_pad = op.blocks.shape[0] * r
-        yp = jnp.zeros(n_row_pad, y.dtype).at[: op.shape[0]].set(y)
-        yb = yp.reshape(-1, r)                       # (n_brow, r)
-        contrib = jnp.einsum("blrc,br->blc", op.blocks.conj(), yb,
-                             precision=_PREC)        # (n_brow, L, c)
-        n_bcol = -(-op.shape[1] // c)
-        out = jnp.zeros((n_bcol, c), contrib.dtype)
-        out = out.at[op.block_cols.reshape(-1)].add(contrib.reshape(-1, c))
-        return out.reshape(-1)[: op.shape[1]]
-    if isinstance(op, BandedOperator):
-        # (A^H y)[j] = sum_d conj(bands[d][j - off]) * y[j - off]
-        n = op.shape[0]
-        out = jnp.zeros(n, jnp.result_type(op.dtype, y.dtype))
-        for d, off in enumerate(op.offsets):
-            prod = op.bands[d].conj() * y
-            if off == 0:
-                out = out + prod
-            elif off > 0:
-                out = out.at[off:].add(prod[:-off])
-            else:
-                out = out.at[:off].add(prod[-off:])
-        return out
-    raise TypeError(
-        f"adjoint matvec not implemented for {type(op).__name__}; "
-        "wrap A with a CallableOperator providing the Gram matvec directly")
-
-
-def _rmatmat(op, Y):
-    """``A^H Y`` column-wise (the dense tier gets one gemm)."""
-    from ..linop import DenseOperator
-
-    if isinstance(op, DenseOperator):
-        return jnp.matmul(op.A.conj().T, Y, precision=_PREC)
-    return jax.vmap(lambda y: _rmatvec(op, y), in_axes=1, out_axes=1)(Y)

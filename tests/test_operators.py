@@ -176,3 +176,30 @@ def test_random_scattered_reflect_same_spectral_profile():
     top = np.sort(vals.real)[-10:]
     np.testing.assert_allclose(np.sort(top), 1.2 + 0.05 * np.arange(10),
                                atol=0.15)
+
+
+def test_gram_operator_arrays_are_pytree_leaves():
+    """GramOperator must expose the factor arrays as pytree CHILDREN so
+    jit traces them as arguments — a closure-captured Gram embedded
+    ~400 MB of operator data as HLO constants and broke the remote
+    compile at 1M rows (r05)."""
+    import jax
+    import scipy.sparse as sp
+
+    from arnoldi_tpu.linop import GramOperator, as_operator
+    from arnoldi_tpu.matrices import random_scattered
+
+    A = random_scattered(512, 8, seed=1, bandwidth=64, edge="reflect")
+    op = as_operator(sp.csr_matrix(A))
+    gram = GramOperator(op, transposed=False)
+    leaves = jax.tree_util.tree_leaves(gram)
+    assert sum(np.asarray(l).size for l in leaves) >= A.nnz
+    # matvec agrees with the explicit Gram product
+    x = np.random.default_rng(0).standard_normal(512)
+    got = np.asarray(gram.matvec(jnp.asarray(x)))
+    want = A.T @ (A @ x)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # jit-compiling with the operator as an argument embeds no big consts
+    fn = jax.jit(lambda g, v: g.matvec(v))
+    text = fn.lower(gram, jnp.asarray(x)).as_text()
+    assert len(text) < 500_000  # a constant-embedded program is megabytes
