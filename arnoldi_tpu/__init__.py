@@ -21,7 +21,7 @@ from .solvers.spectral_transform import (
     realify_operator,
     shift_invert_operator,
 )
-from .solvers.svd import svds
+from .solvers.svd import gram_companions, svds
 from .solvers.filtered import eigsh_filtered, eigsh_window
 from .solvers.decomposition import RitzDecomposition, arnoldi_decomposition
 from .solvers.explicit_restarts import (
@@ -47,6 +47,7 @@ __all__ = [
     "eigsh_filtered",
     "eigsh_window",
     "svds",
+    "gram_companions",
     "shift_invert_operator",
     "generalized_operator",
     "realify_operator",

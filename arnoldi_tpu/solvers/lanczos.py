@@ -342,11 +342,13 @@ def partial_eigh(
         Qr, Tr, r_extra, mv_extra = refine_schur_dw(
             op32, v0r, nev, max_dim=max_dim_r, p=p_r,
             tol=tol_target, sort_function=sort_function,
-            max_restarts=max_restarts, op_lo=op_lo, mesh=mesh)
+            max_restarts=max_restarts, op_lo=op_lo, mesh=mesh,
+            clock=clock)
         hist.total = hist.total_matvecs + mv_extra
         hist.matvecs[:] = hist.total
         hist.restarts[:] = hist.restarts + r_extra
         vals = np.diag(Tr)[:nev].copy()
+        hist.phases = clock.report()
         return vals, Qr[:n, :nev], hist
 
     # HOST TIER (see krylov_schur._host_matvec): small Hermitian problems
@@ -432,7 +434,10 @@ def partial_eigh(
         _, Q0, _, _ = block_cgs2(V, W0, 0, tol=tol)
         V = jax.lax.dynamic_update_slice(V, Q0, (0, 0))
 
+    from ..utils.profiling import phase_clock
+
     history = History.from_k(nev)
+    clock = phase_clock()     # no-op unless ARNOLDI_PHASES is set
     has_converged = False
     total_matvecs = 0
 
@@ -453,13 +458,15 @@ def partial_eigh(
     )
     if use_device_loop:
         v0_block = V[:b, :]
-        Vd, theta, conv, healthy, r_dev, trace = _trl_solve_jit(
-            op, v0_block, jnp.asarray(tol, jnp.finfo(wdtype).dtype),
-            nev=nev, p=p, max_dim=max_dim, max_restarts=max_restarts,
-            which=which.upper(), ortho=ortho if isinstance(ortho, str)
-            else "cgs_dgks", b=b,
-        )
-        if bool(healthy):
+        with clock("trl.device_loop"):
+            Vd, theta, conv, healthy, r_dev, trace = _trl_solve_jit(
+                op, v0_block, jnp.asarray(tol, jnp.finfo(wdtype).dtype),
+                nev=nev, p=p, max_dim=max_dim, max_restarts=max_restarts,
+                which=which.upper(), ortho=ortho if isinstance(ortho, str)
+                else "cgs_dgks", b=b,
+            )
+            healthy = bool(healthy)   # sync inside the clocked region
+        if healthy:
             r_host = int(r_dev)
             trace_host = np.asarray(trace)[:r_host]
             history.residual_trace = [float(t) for t in trace_host]
@@ -473,6 +480,7 @@ def partial_eigh(
                 return _refine_result(Vd[:nev], history)
             eigenvalues = np.real(np.asarray(theta)[:nev])
             eigenvectors = Vd[:nev, :n].T
+            history.phases = clock.report()
             return eigenvalues, eigenvectors, history
         # unhealthy (breakdown): fall through to the host-orchestrated loop
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..linop import (CallableOperator, GramOperator, as_operator,
                      rmatmat as _rmatmat, rmatvec as _rmatvec)
 
-__all__ = ["svds"]
+__all__ = ["svds", "gram_companions"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -27,7 +27,8 @@ _PREC = jax.lax.Precision.HIGHEST
 def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
          maxiter=1000, dtype=None, key=None, v0=None, block_size=1,
          inner_solver="gmres", inner_tol=None,
-         return_singular_vectors=True):
+         return_singular_vectors=True, return_history=False,
+         companions=None):
     """Compute ``k`` singular triplets of ``A`` (any shape; wide matrices
     are handled by running Lanczos on ``A A^H`` internally).
 
@@ -52,17 +53,30 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
         raise ValueError(
             f"which={which!r}: expected 'LM' (largest) or 'SM' (smallest)")
 
-    op = as_operator(A, dtype=dtype)
-    n_rows, n_cols = op.shape
+    from ..utils.profiling import phase_clock
 
-    # Lanczos runs on the Gram operator over the smaller dimension.
-    # GramOperator is a pytree (factor arrays are jit ARGUMENTS): a
-    # closure-based Gram would embed the operator data as HLO constants —
-    # hundreds of MB at 1M rows, which broke the remote compile (r05).
-    transposed = n_rows < n_cols
-    gram_dim = n_rows if transposed else n_cols
-    companions = _gram_companions(A, op) or (None, None, None)
-    gram = GramOperator(op, *companions, transposed=transposed, nnz=op.nnz)
+    clock = phase_clock()     # no-op unless ARNOLDI_PHASES is set
+    # Operator construction is real wall time at scale — format packing +
+    # device upload for A, its materialized adjoint, and two cast-residual
+    # companions is ~4x the matrix bytes (measured ~45 s/call at 1M x 26M
+    # nnz through the dev tunnel).  Repeated solves on the same matrix
+    # should PREBUILD: pass ``A`` as an operator (``as_operator``) and
+    # ``companions=gram_companions(A_src, op)`` — then this section costs
+    # nothing per call (same pattern as partial_schur's refine_op_lo).
+    with clock("svds.operator_build"):
+        op = as_operator(A, dtype=dtype)
+        n_rows, n_cols = op.shape
+        # Lanczos runs on the Gram operator over the smaller dimension.
+        # GramOperator is a pytree (factor arrays are jit ARGUMENTS): a
+        # closure-based Gram would embed the operator data as HLO
+        # constants — hundreds of MB at 1M rows, which broke the remote
+        # compile (r05).
+        transposed = n_rows < n_cols
+        gram_dim = n_rows if transposed else n_cols
+        if companions is None:
+            companions = gram_companions(A, op) or (None, None, None)
+        gram = GramOperator(op, *companions, transposed=transposed,
+                            nnz=op.nnz)
 
     from .lanczos import partial_eigh
 
@@ -117,24 +131,37 @@ def svds(A, k=6, *, which="LM", sigma=None, tol=None, ncv=None,
     order = np.argsort(theta)  # scipy returns ascending singular values
     s = np.sqrt(theta[order])
     if not return_singular_vectors:
-        return s
+        if hist is not None:
+            hist.phases = {**(hist.phases or {}), **clock.report()}
+        return (s, hist) if return_history else s
 
-    W = jnp.asarray(W)[:, jnp.asarray(order)]
+    with clock("svds.w_upload"):
+        W = jnp.asarray(W)[:, jnp.asarray(order)]
     safe = np.where(s == 0, 1.0, s)
-    if transposed:
-        # gram = A A^H: W holds left singular vectors; V = A^H U / sigma.
-        U = W
-        V = _rmatmat(op, U) / jnp.asarray(safe, U.dtype)[None, :]
-        V = _renormalize(V)
-    else:
-        # gram = A^H A: W holds right singular vectors; U = A V / sigma.
-        V = W
-        U = op.matmat(V) / jnp.asarray(safe, V.dtype)[None, :]
-        U = _renormalize(U)
-    return np.asarray(U), s, np.asarray(V).conj().T
+    with clock("svds.recover_side"):
+        if transposed:
+            # gram = A A^H: W holds left singular vectors; V = A^H U / s.
+            U = W
+            adj = (gram.opT.matmat(U) if gram.opT is not None
+                   else _rmatmat(op, U))
+            V = adj / jnp.asarray(safe, U.dtype)[None, :]
+            V = _renormalize(V)
+        else:
+            # gram = A^H A: W holds right singular vectors; U = A V / s.
+            V = W
+            U = op.matmat(V) / jnp.asarray(safe, V.dtype)[None, :]
+            U = _renormalize(U)
+    with clock("svds.uv_pull"):
+        out = (np.asarray(U), s, np.asarray(V).conj().T)
+    if hist is not None:
+        hist.phases = {**(hist.phases or {}), **clock.report()}
+    # ``return_history=True`` appends the inner Lanczos History (matvec/
+    # restart counts, residual trace, ARNOLDI_PHASES stopwatch) — the
+    # scipy-compatible 3-tuple stays the default.
+    return out + (hist,) if return_history else out
 
 
-def _gram_companions(A_src, op):
+def gram_companions(A_src, op):
     """Companion operators enabling the Gram's double-word action
     (``GramOperator.matvec_dw``), so ``partial_eigh``'s dw refinement can
     engage for ``svds`` tolerances below the f32 floor.
