@@ -149,11 +149,33 @@ def _edge_sine(a, b, lmin, lmax):
     return max(s, 0.01)
 
 
+def _degree_rung(N):
+    """Round a filter degree UP to a geometric ladder (ratio 1.25,
+    multiples of 8).
+
+    The coefficient length is a STATIC shape: every distinct degree
+    compiles the filter/gram/scatter/gains (and dw) programs afresh —
+    several seconds each through the remote-TPU tunnel, and an interior
+    solve meets many degrees (per slice geometry, count probes, dw
+    continuation).  Rounding up shares compiles across slices and solves
+    at <= 25% extra recurrence steps (~2.6 s of f32 matmats at the g=64
+    bench vs ~10 s per compile saved); a HIGHER degree only sharpens the
+    damped indicator, so correctness is one-sided.  Same design as the
+    Krylov pa ladder (solvers/krylov_schur.py).
+    """
+    N = int(N)
+    rung = 16
+    while rung < N:
+        rung = -(-int(rung * 1.25) // 8) * 8
+    return rung
+
+
 def _auto_degree(lmin, lmax, sin_eff, delta_half, cap=40000):
-    """Smallest degree whose damped-indicator transition half-width is
-    ``delta_half`` at local edge geometry ``sin_eff`` (see _edge_sine)."""
+    """Smallest ladder degree (see :func:`_degree_rung`) whose
+    damped-indicator transition half-width is ``delta_half`` at local
+    edge geometry ``sin_eff`` (see _edge_sine)."""
     N = 2.5 * (lmax - lmin) * sin_eff / max(delta_half, 1e-300)
-    return int(min(max(N, 16), cap))
+    return int(min(_degree_rung(max(N, 16)), cap))
 
 
 def cheby_filter(op, X, coeffs, lmin, lmax):
@@ -362,16 +384,27 @@ def _filter_scatter_gram(op, X, idx, coeffs, lmin, lmax):
 
 def _active_rows(res, tol_abs, s):
     """Row indices to refresh this sweep under soft locking: the
-    unconverged rows, padded with DISTINCT converged rows to a bucket of
-    32 (so the jitted filter sees a handful of shapes, not one per
-    sweep — each distinct shape is a fresh degree-N compile on the remote
-    device).  Returns None when everything (or nothing) is active."""
+    unconverged rows, padded with DISTINCT converged rows onto a HALVING
+    ladder of row counts {s, s/2, s/4, ..., >=32}.
+
+    The active count is a static shape: every distinct value compiles
+    the degree-N filter afresh — ~10-20 s each through the remote-TPU
+    tunnel, and soft locking shrinks the count every sweep, so the old
+    bucket-of-32 scheme compiled up to s/32 variants per solve (measured
+    as the dominant wall of the g=64 interior bench, r05).  The halving
+    ladder caps it at ~log2(s/32) shapes; the padding rows are converged
+    rows whose refresh is redundant-but-valid work (a full sweep refreshes
+    them anyway), bounded by one halving step ~ 2x the needed rows.
+    Returns None when everything (or nothing) is active."""
     if res is None:
         return None
     active = np.nonzero(res > tol_abs)[0]
     if active.size == 0 or active.size >= s:
         return None if active.size else np.empty(0, np.intp)
-    sb = min(int(-(-active.size // 32) * 32), s)
+    sb = s
+    while sb > 32 and (sb + 1) // 2 >= active.size:
+        sb = (sb + 1) // 2
+    sb = min(int(-(-sb // 32) * 32), s)
     if sb >= s:
         return None
     done = np.setdiff1d(np.arange(s), active)
@@ -625,8 +658,13 @@ def eigsh_filtered(
         key = jax.random.key(0)
     kb, kx, kz = jax.random.split(key, 3)
 
+    from ..utils.profiling import phase_clock
+
+    clock = phase_clock()     # no-op unless ARNOLDI_PHASES is set
+
     if bounds is None:
-        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
+        with clock("filter.bounds"):
+            lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
     else:
         lmin, lmax = float(bounds[0]), float(bounds[1])
     # The window must be inside the enclosure for the arccos map.
@@ -677,8 +715,8 @@ def eigsh_filtered(
     # count (what the subspace must hold).  Count-kernel degree: the
     # transition half-width must resolve a quarter of the counted window,
     # floor 150, capped by an explicit user degree.
-    cdeg2 = max(150, _auto_degree(lmin, lmax, sin_eff, 0.25 * w_own,
-                                  cap=8000))
+    cdeg2 = _degree_rung(max(150, _auto_degree(lmin, lmax, sin_eff,
+                                               0.25 * w_own, cap=8000)))
     if _user_degree is not None:
         cdeg2 = min(cdeg2, int(_user_degree))
     kz1, kz2 = jax.random.split(kz)
@@ -689,8 +727,9 @@ def eigsh_filtered(
         # only an unlucky pair defeats both (p^2, not p).  So the owned
         # count gets its own probe draw rather than a truncation of the
         # sizing moments.
-        mu2 = spectral_moments(op, cdeg2, bounds=(lmin, lmax),
-                               probes=probes, key=kz2, mesh=mesh)
+        with clock("filter.count_probe"):
+            mu2 = spectral_moments(op, cdeg2, bounds=(lmin, lmax),
+                                   probes=probes, key=kz2, mesh=mesh)
         matvecs += probes * (cdeg2 + 1)
         expected = count_from_moments(mu2, (a_m, b_m), (lmin, lmax))
         if expected < 1.0:
@@ -707,16 +746,17 @@ def eigsh_filtered(
     lo_f, hi_f = max(a_m - delta, lmin), min(b_m + delta, lmax)
     lo_c, hi_c = max(a_m - 2 * delta, lmin), min(b_m + 2 * delta, lmax)
     coeffs = jackson_cheby_coeffs(lo_f, hi_f, lmin, lmax, degree)
-    cdeg = int(min(degree, max(150, _auto_degree(
-        lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000))))
+    cdeg = int(min(degree, _degree_rung(max(150, _auto_degree(
+        lmin, lmax, sin_eff, 0.25 * (hi_c - lo_c), cap=8000)))))
     if subspace is not None:
         s = int(subspace)
     else:
         if _census_mu is not None and cdeg <= len(_census_mu) - 1:
             mu = _census_mu   # moments are window-independent; free reuse
         else:
-            mu = spectral_moments(op, cdeg, bounds=(lmin, lmax),
-                                  probes=probes, key=kz1, mesh=mesh)
+            with clock("filter.sizing_probe"):
+                mu = spectral_moments(op, cdeg, bounds=(lmin, lmax),
+                                      probes=probes, key=kz1, mesh=mesh)
             matvecs += probes * (cdeg + 1)
         # Size the subspace from the CAPTURE-window eigenvalue count.  The
         # owned cluster gets 2x oversampling in all-inside mode (missing a
@@ -780,9 +820,10 @@ def eigsh_filtered(
     res_prev = None   # previous sweep's residuals -> soft-locking actives
     t_sweep = time.perf_counter()
     for sweep in range(int(max_iters)):
-        X, theta_h, res_h, n_f = _filter_rr_step(
-            op, X, coeffs, lmin, lmax,
-            active=_active_rows(res_prev, tol * scale, s))
+        with clock("filter.f32_sweep"):
+            X, theta_h, res_h, n_f = _filter_rr_step(
+                op, X, coeffs, lmin, lmax,
+                active=_active_rows(res_prev, tol * scale, s))
         res_prev = res_h
         matvecs += degree * n_f + s   # filter + the Rayleigh-Ritz matmat
         inside = np.nonzero((theta_h >= a_m) & (theta_h <= b_m))[0]
@@ -856,8 +897,9 @@ def eigsh_filtered(
             op_lo = shard_operator(op_lo, mesh)
         from ..ops.df32 import dw_to_f64
 
-        theta_r, (Xh_r, Xl_r), res_r, pick, r_sweeps, r_mv = (
-            _refine_filtered_dw(
+        with clock("filter.dw_phase"):
+            theta_r, (Xh_r, Xl_r), res_r, pick, r_sweeps, r_mv = (
+                _refine_filtered_dw(
                 op32, op_lo, X, win=(lo_f, hi_f), own=(a_m, b_m), lmin=lmin,
                 lmax=lmax, degree=degree, tol=tol_target, scale=scale,
                 nev=nev, history=history,
@@ -879,11 +921,18 @@ def eigsh_filtered(
             # ONE batched device_get: both limb slices in flight together
             # (two sequential pulls serialize the ~200 ms tunnel latency;
             # same pattern as the refine.py output path)
-            hi, lo = jax.device_get((Xh_r[idx], Xl_r[idx]))
-            vecs = dw_to_f64(hi, lo).T
+            with clock("filter.out_pull"):
+                hi, lo = jax.device_get((Xh_r[idx], Xl_r[idx]))
+            with clock("filter.out_combine"):
+                # threaded chunked limb sum (this host converts large
+                # arrays at ~100 MB/s per core; see refine.py)
+                from .refine import _combine_limbs_transposed
+
+                vecs = _combine_limbs_transposed(hi, lo)
         else:
             vals = np.empty(0)
             vecs = np.empty((n, 0))
+        history.phases = clock.report()
         hist = _finalize_history(history, all_inside, len(vals), matvecs,
                                  n_sweeps)
         if _extras:
@@ -895,8 +944,10 @@ def eigsh_filtered(
     pick = pick[np.argsort(theta_h[pick])]  # scipy-ascending
     vals = theta_h[pick]
     # device-side row gather first: transfer only the wanted rows
-    vecs = (np.asarray(X[jnp.asarray(pick)], np.float64).T if pick.size
-            else np.empty((n, 0)))
+    with clock("filter.out_pull"):
+        vecs = (np.asarray(X[jnp.asarray(pick)], np.float64).T if pick.size
+                else np.empty((n, 0)))
+    history.phases = clock.report()
     hist = _finalize_history(history, all_inside, len(vals), matvecs,
                              n_sweeps)
     if _extras:
@@ -1081,6 +1132,7 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
     Xl = jnp.zeros_like(Xh)
     matvecs = 0
     res_prev = None   # soft locking (see the coarse loop)
+    t_sweep = time.perf_counter()
     for sweep in range(int(max_sweeps)):
         act = _active_rows(res_prev, tol * scale, s)
         if act is None:
@@ -1136,8 +1188,10 @@ def _refine_filtered_dw(op32, op_lo, X32, *, win, own, lmin, lmax, degree,
         if os.environ.get("ARNOLDI_FILTER_VERBOSE"):
             print(f"[filtered/dw] sweep {sweep}: filtered={n_f} "
                   f"inside={inside.size} ghosts={n_ghost} "
-                  f"max_rel_res={history.residual_trace[-1]:.2e}",
+                  f"max_rel_res={history.residual_trace[-1]:.2e} "
+                  f"({time.perf_counter() - t_sweep:.1f}s)",
                   file=sys.stderr, flush=True)
+            t_sweep = time.perf_counter()
         # the collapse guard discounts this sweep's identified ghosts (they
         # were counted by the coarse phase's inside set, but are not owned
         # pairs) — per-sweep, NOT cumulative: rows rotate every sweep, so
@@ -1199,8 +1253,12 @@ def eigsh_window(
         assert op.shape[0] % int(mesh.devices.size) == 0, (
             "pad_operator to the mesh first")
         op = shard_operator(op, mesh)
+    from ..utils.profiling import phase_clock
+
+    wclock = phase_clock()    # no-op unless ARNOLDI_PHASES is set
     if bounds is None:
-        lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
+        with wclock("filter.bounds"):
+            lmin, lmax = spectrum_bounds(op, bounds_dim, key=kb, mesh=mesh)
     else:
         lmin, lmax = float(bounds[0]), float(bounds[1])
     a_m, b_m = max(a, lmin), min(b, lmax)
@@ -1220,13 +1278,14 @@ def eigsh_window(
     n_cells = 8
     # the count kernel must resolve a CELL: transition half-width half a
     # cell, at the window's local arccos geometry (see _edge_sine)
-    cdeg = max(150, _auto_degree(
+    cdeg = _degree_rung(max(150, _auto_degree(
         lmin, lmax, _edge_sine(a_m, b_m, lmin, lmax),
-        0.5 * (b_m - a_m) / n_cells, cap=8000))
+        0.5 * (b_m - a_m) / n_cells, cap=8000)))
     grid = np.linspace(a_m, b_m, n_cells + 1)
     # one moment pass prices all n_cells census counts (see _kpm_moments)
-    mu = spectral_moments(op, cdeg, bounds=(lmin, lmax), probes=probes,
-                          key=kz, mesh=mesh)
+    with wclock("filter.census"):
+        mu = spectral_moments(op, cdeg, bounds=(lmin, lmax), probes=probes,
+                              key=kz, mesh=mesh)
     mv_count = probes * (cdeg + 1)
     cell_counts = np.array([
         max(count_from_moments(mu, (grid[i], grid[i + 1]), (lmin, lmax)),
@@ -1246,6 +1305,7 @@ def eigsh_window(
     all_vals, all_vecs = [], []
     matvecs, sweeps = mv_count, 0
     trace = []
+    slice_phases = []
     carry = None   # previous slice's transition-band rows (warm start)
     for i in range(n_slices):
         lo, hi = float(cuts[i]), float(cuts[i + 1])
@@ -1273,6 +1333,7 @@ def eigsh_window(
         matvecs += hist_i.total_matvecs
         sweeps += int(hist_i.restarts.max()) if hist_i.restarts.size else 0
         trace.extend(hist_i.residual_trace)
+        slice_phases.append(hist_i.phases or {})
         # half-open ownership [lo, hi) — the last slice keeps its right
         # edge — so a pair converging in two adjacent slices is kept once.
         own = (vals_i >= lo) & ((vals_i < hi) | (i == n_slices - 1))
@@ -1298,4 +1359,17 @@ def eigsh_window(
     history.matvecs[:] = matvecs
     history.restarts[:] = sweeps
     history.residual_trace = trace
+    # phases: the window driver's own clocks + per-slice phases summed
+    merged = dict(wclock.report())
+    for ph in slice_phases:
+        for k_, v_ in ph.items():
+            if k_ in merged:
+                merged[k_] = {
+                    "seconds": round(merged[k_]["seconds"]
+                                     + v_.get("seconds", 0.0), 6),
+                    "calls": merged[k_].get("calls", 0) + v_.get("calls", 0),
+                }
+            else:
+                merged[k_] = dict(v_)
+    history.phases = merged
     return vals, vecs, history

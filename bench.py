@@ -638,6 +638,7 @@ def main_interior(g=80):
     tol = float(os.environ.get("BENCH_SOLVE_TOL", "1e-8"))
     dtype = np.float32 if on_tpu else np.float64
 
+    os.environ.setdefault("ARNOLDI_PHASES", "1")
     t0 = time.perf_counter()
     vals, vecs, hist = eigsh_window(
         A, (a, b), tol=tol, dtype=dtype, max_slice=60,
@@ -662,6 +663,8 @@ def main_interior(g=80):
         "max_eig_err": float(dist.max()) if dist.size else None,
         "matvecs": int(hist.total_matvecs),
         "tol": tol,
+        "phases": {kq: round(vq.get("seconds", 0.0), 4)
+                   for kq, vq in (hist.phases or {}).items()},
         "note": "shift-invert infeasible here: splu fill ~O(n g^2), "
                 "indefinite inner solves stall; filtering is matvec-only",
     }))

@@ -143,8 +143,10 @@ class TestPieces:
 
     def test_active_rows_buckets(self):
         # soft-locking row selection: unconverged rows first, padded with
-        # DISTINCT converged rows to a bucket of 32 (shape-stable jit),
-        # None for all-active / first sweep, empty for everything locked.
+        # DISTINCT converged rows onto the halving count ladder
+        # {s, s/2, s/4, ..., >=32} (each distinct count is a fresh remote
+        # degree-N compile — r05), None for all-active / first sweep,
+        # empty for everything locked.
         from arnoldi_tpu.solvers.filtered import _active_rows
 
         assert _active_rows(None, 1e-8, 100) is None  # first sweep
@@ -155,16 +157,20 @@ class TestPieces:
         res = np.full(100, 1e-12)
         res[[3, 50, 97]] = 1.0
         idx = _active_rows(res, 1e-8, 100)
-        assert idx.size == 32                          # bucketed
+        assert idx.size == 32                          # ladder floor
         assert set([3, 50, 97]) <= set(idx.tolist())
         assert np.unique(idx).size == idx.size         # distinct pad rows
-        # bucket clamps to s (and a bucket == s means "just go full")
+        # more than half active -> just run the full sweep (one shape)
         res = np.full(40, 1e-12)
         res[:39] = 1.0
-        assert _active_rows(res, 1e-8, 40) is None     # 39 -> bucket 40 == s
+        assert _active_rows(res, 1e-8, 40) is None
         res = np.full(40, 1e-12)
         res[:30] = 1.0
-        assert _active_rows(res, 1e-8, 40).size == 32  # 30 -> bucket 32
+        assert _active_rows(res, 1e-8, 40) is None     # 30 of 40 -> full
+        # ladder rungs: 60 of 504 active -> ceil(504/8)=63 -> 64 rows
+        res = np.full(504, 1e-12)
+        res[:60] = 1.0
+        assert _active_rows(res, 1e-8, 504).size == 64
 
     def test_window_count_estimator(self):
         n = 300
