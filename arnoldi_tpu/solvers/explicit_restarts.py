@@ -190,7 +190,11 @@ def explicit_restarts_with_deflation(
     if key is None:
         key = jax.random.key(0)
 
-    for k in range(nev):
+    def converge_slot(k, key):
+        """Converge ONE eigenpair into locked slot ``k`` (the reference's
+        per-eigenvalue loop body, :105-160); mutates V/H_host via the
+        enclosing scope and returns (locked eigenvalue estimate, key)."""
+        nonlocal V, H_host
         key, sub = jax.random.split(key)
         v0 = rand_normalized_vector(sub, n, wdtype)
         v0, beta = _ortho_against_locked(V, v0, k)
@@ -198,7 +202,6 @@ def explicit_restarts_with_deflation(
         V = V.at[k, :].set(v0)
 
         matvecs_k = 0
-        converged_k = False
         for restart in range(max_restarts):
             H = jnp.asarray(H_host)
             V, H, n_iter = arnoldi_expand(
@@ -233,10 +236,7 @@ def explicit_restarts_with_deflation(
             approximate_convergence = (
                 ritz.approximate_residuals / np.abs(ritz.values)
             )
-            converged_k = happy_breakdown or bool(
-                approximate_convergence[0] < tol
-            )
-            if converged_k:
+            if happy_breakdown or bool(approximate_convergence[0] < tol):
                 # Lock: build column k of the projected H by Rayleigh
                 # quotients against the locked basis (reference :149-151).
                 Av = op.matvec(V[k, :]).astype(wdtype)
@@ -246,19 +246,62 @@ def explicit_restarts_with_deflation(
                 H_host[: k + 1, k] = coeffs
                 H_host[k + 1 : -1, k] = 0
 
-                history.matvecs[k] = matvecs_k
-                history.restarts[k] = restart + 1
-                break
-        if not converged_k:
-            raise ValueError(f"Could not converge for value {k}")
+                if k < nev:
+                    history.matvecs[k] = matvecs_k
+                    history.restarts[k] = restart + 1
+                else:
+                    history.matvecs[-1] += matvecs_k
+                    history.restarts[-1] += restart + 1
+                return complex(ritz.values[0]), key
+        raise ValueError(f"Could not converge for value {k}")
+
+    for k in range(nev):
+        _, key = converge_slot(k, key)
+
+    # COMPLETENESS BACKSTOP (r05): one-at-a-time locking can converge a
+    # lower-ranked eigenvalue when the Krylov window is tight (observed on
+    # mark(100) at ncv = 2*nev: the +/- twin of a locked pair starves in
+    # the (max_dim - k)-step window and a just-below-the-cut value
+    # converges instead — 1-in-5 start vectors at (nev=10, ncv=20); the
+    # reference's identical algorithm shares the failure mode, hidden by
+    # its RNG stream).  Probe by converging the dominant REMAINING
+    # direction: while it outranks the current nev-th best by more than a
+    # tie margin, keep it as an extra locked slot (the output picks the
+    # best nev of ALL locked values), up to a small extras budget.
+    max_extra = int(min(3 + nev // 4, max_dim - 1 - nev))
+    k_lock = nev
+    while k_lock < nev + max_extra and k_lock < max_dim - 1:
+        lam_new, key = converge_slot(k_lock, key)
+        k_lock += 1
+        locked_vals = np.linalg.eigvals(H_host[:k_lock, :k_lock])
+        order = np.asarray(sort_function(locked_vals))
+        top = locked_vals[order[:nev]]
+        in_top = bool(np.any(np.isclose(lam_new, top,
+                                        rtol=1e-10, atol=1e-12)))
+        if not in_top:
+            # the dominant remaining direction ranks BELOW the current
+            # nev-th best: the top-nev set is stable, done
+            break
+        displaced = locked_vals[order[nev]] if len(locked_vals) > nev \
+            else None
+        if displaced is not None and np.isclose(
+                abs(lam_new), abs(displaced), rtol=1e-7, atol=1e-10):
+            # the new value merely swapped with its tied-|lambda| twin at
+            # the cut — either member is a correct answer (the match gate
+            # recognizes boundary ties); stop probing
+            break
 
     # Final re-diagonalization of the projected matrix (reference :162-167;
-    # required for Markov-type matrices).
-    eivals, Y = dense_tier.eig(H_host[:nev, :nev])
+    # required for Markov-type matrices) over ALL locked slots, returning
+    # the best nev by the sort function.
+    eivals, Y = dense_tier.eig(H_host[:k_lock, :k_lock])
+    order = np.asarray(sort_function(np.asarray(eivals)))[:nev]
+    eivals = np.asarray(eivals)[order]
+    Y = np.asarray(Y)[:, order]
     if np.issubdtype(np.dtype(wdtype), np.floating) and np.iscomplexobj(Y):
         # the locked H is upper triangular with a real diagonal here (the
         # complex-pair case raised above), so Y is numerically real
         Y = _require_real(Y, "explicit_restarts_with_deflation")
-    eivecs = jnp.matmul(V[:nev, :].T, jnp.asarray(Y, dtype=wdtype),
+    eivecs = jnp.matmul(V[:k_lock, :].T, jnp.asarray(Y, dtype=wdtype),
                         precision=jax.lax.Precision.HIGHEST)
     return eivals, eivecs, history
