@@ -639,6 +639,14 @@ def main_interior(g=80):
     dtype = np.float32 if on_tpu else np.float64
 
     os.environ.setdefault("ARNOLDI_PHASES", "1")
+    # Touch the device BEFORE the timed window: backend init + claim wait
+    # through the remote tunnel has been observed to take minutes when a
+    # previous process exited recently, and (unlike the other bench modes,
+    # which warm-solve first) this mode's first device op otherwise lands
+    # inside the wall — observed as a phantom 600 s "filter.bounds".
+    t_init = time.perf_counter()
+    float(jax.numpy.zeros(8)[0])
+    init_s = time.perf_counter() - t_init
     t0 = time.perf_counter()
     vals, vecs, hist = eigsh_window(
         A, (a, b), tol=tol, dtype=dtype, max_slice=60,
@@ -663,6 +671,7 @@ def main_interior(g=80):
         "max_eig_err": float(dist.max()) if dist.size else None,
         "matvecs": int(hist.total_matvecs),
         "tol": tol,
+        "device_init_s": round(init_s, 4),
         "phases": {kq: round(vq.get("seconds", 0.0), 4)
                    for kq, vq in (hist.phases or {}).items()},
         "note": "shift-invert infeasible here: splu fill ~O(n g^2), "
