@@ -220,6 +220,9 @@ def _combine_limbs_transposed(hi, lo, chunk=1 << 19):
 
     k, n = hi.shape
     out = np.empty((n, k), np.float64)
+    workers = min(8, os.cpu_count() or 1)
+    # keep every worker busy even when n is below the default chunk
+    chunk = max(min(chunk, -(-n // workers)), 1 << 14)
 
     def work(c0):
         c1 = min(c0 + chunk, n)
@@ -227,7 +230,7 @@ def _combine_limbs_transposed(hi, lo, chunk=1 << 19):
         seg += lo[:, c0:c1].astype(np.float32)
         out[c0:c1, :] = seg.T
 
-    with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as ex:
+    with ThreadPoolExecutor(workers) as ex:
         list(ex.map(work, range(0, n, chunk)))
     return out
 
