@@ -167,3 +167,20 @@ def test_reference_implementation_method():
     import arnoldi.utils as ref_utils
 
     assert ref_ks.rand_normalized_vector is ref_utils.rand_normalized_vector
+
+
+def test_check_claims_reproduces_readme():
+    """The drift guard itself: every quoted benchmark figure in the README
+    must recompute from the committed artifacts (runs the real script)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    script = repo / "scripts" / "check_claims.py"
+    if not script.exists() or not list(
+            (repo / "artifacts").glob("stress-mark100_r*.csv")):
+        pytest.skip("artifacts not present")
+    r = subprocess.run([_sys.executable, str(script)], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
